@@ -1,0 +1,128 @@
+"""Core projective-geometry primitives, fully batched and vmappable.
+
+TPU-first re-design of the reference's per-item Eigen kernels
+(``/root/reference/src/Camera.h:11-58``): every function here is a pure
+``jax.numpy`` program over arbitrary leading batch dimensions, so the
+per-trial / per-point C++ loops of the reference collapse into single
+batched XLA ops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def hnormalize(x):
+    """Convert homogeneous to euclidean coordinates along the last axis.
+
+    Mirrors ``spectavi.mvg.hnormalize`` (reference ``spectavi/mvg.py:14-18``).
+    """
+    return x[..., :-1] / x[..., -1:]
+
+
+def homogeneous(x):
+    """Append a 1-coordinate along the last axis (euclidean -> homogeneous)."""
+    return jnp.concatenate([x, jnp.ones_like(x[..., :1])], axis=-1)
+
+
+def skew_symmetric(s):
+    """Map vectors ``(..., 3)`` to skew-symmetric matrices ``(..., 3, 3)``.
+
+    Matches ``skew_symmetric`` (reference ``src/Camera.h:48-58``), batched.
+    """
+    s0, s1, s2 = s[..., 0], s[..., 1], s[..., 2]
+    z = jnp.zeros_like(s0)
+    return jnp.stack(
+        [
+            jnp.stack([z, -s2, s1], axis=-1),
+            jnp.stack([s2, z, -s0], axis=-1),
+            jnp.stack([-s1, s0, z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def camera_from_rt(R, t):
+    """Compose ``P = [R | t]`` from ``(..., 3, 3)`` and ``(..., 3)``."""
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
+def identity_camera(dtype=jnp.float64):
+    """The canonical camera ``[I | 0]``."""
+    return jnp.concatenate(
+        [jnp.eye(3, dtype=dtype), jnp.zeros((3, 1), dtype=dtype)], axis=-1
+    )
+
+
+def essential_to_cameras(E):
+    """Decompose essential matrices ``(..., 3, 3)`` into 4 candidate cameras.
+
+    Same SVD construction as ``Essential2Cameras`` (reference
+    ``src/Camera.h:31-46``): ``t = U[:, 2]``, ``Ra = U D V^T``,
+    ``Rb = U D^T V^T`` with ``D = [[0,1,0],[-1,0,0],[0,0,1]]``; candidates
+    are ``(Ra, t), (Ra, -t), (Rb, t), (Rb, -t)``.
+
+    Returns ``(..., 4, 3, 4)``.
+    """
+    U, _, Vt = jnp.linalg.svd(E)
+    return cameras_from_svd(U, Vt)
+
+
+def cameras_from_svd(U, Vt):
+    """Candidate cameras from a precomputed SVD of E (see
+    :func:`essential_to_cameras`); lets RANSAC reuse the SVD of F."""
+    D = jnp.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], U.dtype)
+    t = U[..., :, 2]
+    Ra = U @ D @ Vt
+    Rb = U @ D.T @ Vt
+    P = jnp.stack(
+        [
+            camera_from_rt(Ra, t),
+            camera_from_rt(Ra, -t),
+            camera_from_rt(Rb, t),
+            camera_from_rt(Rb, -t),
+        ],
+        axis=-3,
+    )
+    return P
+
+
+def inv3x3(M):
+    """Closed-form (adjugate) inverse of ``(..., 3, 3)`` matrices.
+
+    Used instead of ``jnp.linalg.inv`` because LU-based ops fail to
+    compile for f64 on the TPU backend; the adjugate form is also
+    cheaper and fuses for small batched matrices.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), b * f - c * e], axis=-1),
+            jnp.stack([B, a * i - c * g, -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), a * e - b * d], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def fundamental_from_cameras(P0, P1):
+    """Fundamental matrix of a camera pair ``(..., 3, 4) x 2 -> (..., 3, 3)``.
+
+    Same construction as ``Rectifier::fundamental`` (reference
+    ``src/Camera.h:81-89``): camera centre C of P0 from the SVD null
+    vector, epipole ``e' = P1 C``, pseudo-inverse ``P0^+``, and
+    ``F = [e']_x P1 P0^+``.
+    """
+    _, _, Vt = jnp.linalg.svd(P0)
+    C = Vt[..., 3, :]  # null vector of P0 = camera centre (homogeneous)
+    ep = jnp.einsum("...ij,...j->...i", P1, C)
+    P0T = jnp.swapaxes(P0, -1, -2)
+    invP0 = P0T @ inv3x3(P0 @ P0T)
+    return skew_symmetric(ep) @ P1 @ invP0

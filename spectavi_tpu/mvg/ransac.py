@@ -1,0 +1,173 @@
+"""RANSAC essential-matrix estimation as massively-parallel hypothesis scoring.
+
+Re-design of ``RansacFitter`` (reference ``src/RansacFitter.h:21-288``)
+for TPU: the reference runs sequential trials on OpenMP threads with a
+lock around the best-model state and a racy first-success short-circuit.
+Here a whole batch of trials is drawn with one PRNG key, solved with one
+batched 7-point call, and scored as one ``(trial, root, camera, point)``
+tensor; the winner is an argmax.  Deterministic given the key — which
+also fixes the reference's unseeded-RNG flakiness.
+
+Semantics parity (same gates as reference ``process_fundamental_matrix``,
+``src/RansacFitter.h:42-98``):
+
+* singular-value-ratio gate ``|s0 - s1| / ((s0 + s1)/2) <= svr_allowed``;
+* E projected from F by forcing singular values ``(1, 1, 0)``;
+* 4 candidate cameras from the essential decomposition;
+* a point is an inlier iff DLT reprojection error <= threshold AND the
+  triangulated point is in front of both cameras;
+* the *raw* fundamental root (not the projected E) is returned as
+  ``essential`` — matching the reference, which stores ``F0``
+  (``src/RansacFitter.h:216``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectavi_tpu.mvg.core import cameras_from_svd, hnormalize, identity_camera
+from spectavi_tpu.mvg.sevenpoint import seven_point
+from spectavi_tpu.mvg.triangulate import triangulate_full
+
+DEFAULT_OPTIONS = {
+    "required_percent_inliers": 0.9,
+    "reprojection_error_allowed": 0.5,
+    "maximum_tries": 500,
+    "find_best_even_in_failure": True,
+    "singular_value_ratio_allowed": 3e-2,
+    "progressbar": False,  # accepted for API parity; ignored
+}
+
+
+@partial(jax.jit, static_argnames=("trials",))
+def ransac_essential_batch(key, x0, x1, trials, reproj_allowed, svr_allowed):
+    """Run one batch of RANSAC trials; return the batch winner.
+
+    Parameters
+    ----------
+    key : PRNG key.
+    x0, x1 : ``(N, 2)`` euclidean correspondences (pre-hnormalized).
+    trials : static int — number of 7-point samples in this batch.
+
+    Returns
+    -------
+    dict with ``essential (3,3)``, ``camera (3,4)``, ``count`` (best
+    inlier count), ``inlier_mask (N,)`` for the winner.
+    """
+    N = x0.shape[0]
+    dtype = x0.dtype
+    keys = jax.random.split(key, trials)
+    sample = jax.vmap(
+        lambda k: jax.random.choice(k, N, shape=(7,), replace=False)
+    )(keys)
+    F, valid = seven_point(x0[sample], x1[sample])  # (T,3,3,3), (T,3)
+
+    P0 = identity_camera(dtype)
+
+    def score_trial(args):
+        Ft, validt = args  # (3,3,3), (3,)
+        U, S, Vt = jnp.linalg.svd(Ft)
+        ratio = jnp.abs(S[:, 0] - S[:, 1]) / (jnp.abs(S[:, 0] + S[:, 1]) / 2.0)
+        gate = (ratio <= svr_allowed) & validt
+        P1 = cameras_from_svd(U, Vt)  # (3,4,3,4)
+        # score every (root, camera) against every point: (3,4,N)
+        _, reproj, infront = triangulate_full(
+            P0,
+            P1[:, :, None, :, :],
+            x0[None, None, :, :],
+            x1[None, None, :, :],
+        )
+        inlier = (reproj <= reproj_allowed) & infront
+        counts = inlier.sum(-1)  # (3,4)
+        counts = jnp.where(gate[:, None], counts, -1)
+        return counts
+
+    counts = jax.lax.map(score_trial, (F, valid))  # (T,3,4)
+    flat = counts.reshape(-1)
+    best = jnp.argmax(flat)
+    it, ir, ic = jnp.unravel_index(best, counts.shape)
+    Fb = F[it, ir]
+    Ub, Sb, Vtb = jnp.linalg.svd(Fb)
+    P1b = cameras_from_svd(Ub, Vtb)[ic]
+    _, reproj, infront = triangulate_full(P0, P1b, x0, x1)
+    inlier_mask = (reproj <= reproj_allowed) & infront
+    return {
+        "essential": Fb,
+        "camera": P1b,
+        "count": flat[best],
+        "inlier_mask": inlier_mask,
+    }
+
+
+def ransac_fitter(x0, x1, options=None, key=None, batch_trials=64):
+    """Fit a two-view essential matrix to tentative correspondences.
+
+    API parity with ``spectavi.mvg.ransac_fitter`` (reference
+    ``spectavi/mvg.py:138-221``): same options dict, same return dict
+    (``success``, ``essential``, ``camera``, ``inlier_percent``,
+    ``inlier_idx``).  Extra ``key`` argument makes the fit
+    deterministic; ``maximum_tries`` is honoured by looping jitted
+    batches of ``batch_trials`` trials with early exit on success —
+    the batched analogue of the reference's first-success
+    short-circuit (``src/RansacFitter.h:185-187``).
+    """
+    opts = dict(DEFAULT_OPTIONS)
+    if options:
+        opts.update(options)
+    x0 = np.asarray(x0)
+    x1 = np.asarray(x1)
+    if x0.shape[0] != x1.shape[0]:
+        raise ValueError("Supplied incorrect point matches, numbers do not match.")
+    if x0.shape[0] < 10:
+        raise ValueError("Supplied less than 10 point matches, unsupported.")
+    if x0.shape[1] == 3:
+        x0 = np.asarray(hnormalize(x0))
+    if x1.shape[1] == 3:
+        x1 = np.asarray(hnormalize(x1))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    N = x0.shape[0]
+    required = opts["required_percent_inliers"]
+    max_tries = int(opts["maximum_tries"])
+    x0j = jnp.asarray(x0)
+    x1j = jnp.asarray(x1)
+
+    best = None
+    best_count = -1
+    tries = 0
+    while tries < max_tries:
+        trials = min(batch_trials, max_tries - tries)
+        key, sub = jax.random.split(key)
+        out = ransac_essential_batch(
+            sub,
+            x0j,
+            x1j,
+            trials,
+            opts["reprojection_error_allowed"],
+            opts["singular_value_ratio_allowed"],
+        )
+        count = int(out["count"])
+        if count > best_count:
+            best_count = count
+            best = out
+        tries += trials
+        if best_count / N >= required:
+            break
+
+    success = best_count / N >= required
+    if not success and not opts["find_best_even_in_failure"]:
+        # parity: reference leaves best-model empty unless allowed
+        pass
+    mask = np.asarray(best["inlier_mask"])
+    return {
+        "success": bool(success),
+        "essential": np.asarray(best["essential"]),
+        "camera": np.asarray(best["camera"]),
+        "inlier_percent": best_count / N,
+        "inlier_idx": np.where(mask)[0].astype(np.int32),
+    }
