@@ -1,0 +1,145 @@
+"""Exact brute-force nearest neighbours, batched for TPU.
+
+Re-design of the reference's per-query-row scan kernels
+(``src/BruteForceNn.h:27-120`` and ``src/BruteForceNnL1K2.h:55-146``):
+the reference walks one query at a time with a heap and monotone
+early-exit pruning; on TPU the whole ``(yrows, xrows)`` distance matrix
+is computed in tiles and reduced with a streaming/batched top-k.
+Pruning is data-dependent control flow that the MXU/VPU cannot exploit
+— dense tiled evaluation wins by throughput, and results are exact
+(the reference's ``mu`` approximation knob is accepted for API parity
+but exact answers are always returned, a strict superset of accuracy).
+
+The SSE ``_mm_sad_epu8`` path of the reference maps to
+:func:`spectavi_tpu.ops.l1nn.l1_topk2_tpu`, a Pallas kernel that
+streams the distance matrix through VMEM with a running top-2 per
+query; the portable XLA fallback here computes the same int32 L1
+distances exactly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pad_rows(a, multiple):
+    rows = a.shape[0]
+    pad = (-rows) % multiple
+    if pad:
+        a = np.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+    return a, rows
+
+
+@partial(jax.jit, static_argnames=("p", "k", "use_int"))
+def _lp_topk_chunk(x, yc, p, k, use_int):
+    """Top-k neighbours of query chunk ``yc`` in database ``x`` under the
+    reference's accumulated-|diff|^p "distance" (no 1/p root, reference
+    ``src/BruteForceNn.h:67-79``)."""
+    diff = yc[:, None, :] - x[None, :, :]
+    if use_int:
+        # integer path truncates each per-element power to int before
+        # accumulating (Scalar=int in the reference template)
+        if p == 1.0:
+            pval = jnp.abs(diff)
+        elif p == 2.0:
+            pval = diff * diff
+        else:
+            pval = jnp.sqrt(jnp.abs(diff).astype(jnp.float64)).astype(diff.dtype)
+        dist = pval.sum(-1)
+    else:
+        ad = jnp.abs(diff)
+        if p == 1.0:
+            pval = ad
+        elif p == 2.0:
+            pval = diff * diff
+        elif p == 0.5:
+            pval = jnp.sqrt(ad)
+        else:
+            pval = jnp.power(ad, p)
+        dist = pval.sum(-1)
+    neg_d, idx = jax.lax.top_k(-dist, k)
+    return idx, -neg_d
+
+
+def nn_bruteforce(x, y, p=0.5, mu=0.0, k=2, use_int=False, chunk=1024):
+    """Exact k-NN under any p-norm accumulation.
+
+    API parity with ``spectavi.feature.nn_bruteforce`` (reference
+    ``spectavi/feature.py:246-289``): returns ``(nn_idx uint64,
+    nn_dist)`` with distances float32, or int32 when ``use_int`` (inputs
+    then scaled by 100 and rounded, matching the reference wrapper).
+    ``mu`` is accepted but ignored — results are always exact.
+    """
+    del mu
+    x = np.asarray(x)
+    y = np.asarray(y)
+    assert x.shape[1] == y.shape[1]
+    if use_int:
+        xj = jnp.asarray(np.round(100 * x).astype("int32"))
+        yq = np.round(100 * y).astype("int32")
+    else:
+        xj = jnp.asarray(x.astype("float32"))
+        yq = y.astype("float32")
+    idx_out = []
+    dist_out = []
+    for i in range(0, yq.shape[0], chunk):
+        yc, rows = _pad_rows(yq[i : i + chunk], chunk)
+        idx, dist = _lp_topk_chunk(xj, jnp.asarray(yc), float(p), int(k), bool(use_int))
+        idx_out.append(np.asarray(idx)[:rows])
+        dist_out.append(np.asarray(dist)[:rows])
+    nn_idx = np.vstack(idx_out).astype(np.uint64)
+    nn_dist = np.vstack(dist_out)
+    nn_dist = nn_dist.astype(np.int32) if use_int else nn_dist.astype(np.float32)
+    return nn_idx, nn_dist
+
+
+@partial(jax.jit, static_argnames=())
+def l1_topk2_xla(x, y):
+    """Exact top-2 L1 neighbours, int32 distances (XLA fallback path).
+
+    ``x``: ``(X, D)`` database, ``y``: ``(Y, D)`` queries, any integer
+    dtype widening to int32.  Returns ``(idx (Y, 2) int32,
+    dist (Y, 2) int32)``.
+    """
+    xi = x.astype(jnp.int32)
+    yi = y.astype(jnp.int32)
+
+    def chunk_body(yc):
+        dist = jnp.abs(yc[:, None, :] - xi[None, :, :]).sum(-1)
+        neg_d, idx = jax.lax.top_k(-dist, 2)
+        return idx, -neg_d
+
+    # scan over query blocks to bound the (Yc, X) intermediate
+    B = 256
+    Y = yi.shape[0]
+    pad = (-Y) % B
+    yp = jnp.pad(yi, ((0, pad), (0, 0)))
+    yb = yp.reshape(-1, B, yi.shape[1])
+    idx, dist = jax.lax.map(chunk_body, yb)
+    idx = idx.reshape(-1, 2)[:Y]
+    dist = dist.reshape(-1, 2)[:Y]
+    return idx, dist
+
+
+def nn_bruteforcel1k2(x, y, nthreads=None):
+    """Exact L1 top-2 matcher for byte descriptors.
+
+    API parity with ``spectavi.feature.nn_bruteforcel1k2`` (reference
+    ``spectavi/feature.py:292-304``); ``nthreads`` is accepted and
+    ignored (parallelism is XLA's job).  Uses the Pallas streaming
+    kernel on TPU backends and the XLA fallback elsewhere.
+    """
+    del nthreads
+    x = np.asarray(x)
+    y = np.asarray(y)
+    assert x.shape[1] == y.shape[1]
+    if x.shape[1] % 16 != 0:
+        raise ValueError("Input matrix inner dimensions must be 16-byte aligned.")
+    from spectavi_tpu.ops.l1nn import l1_topk2
+
+    idx, dist = l1_topk2(jnp.asarray(x), jnp.asarray(y))
+    return np.asarray(idx).astype(np.uint64), np.asarray(dist).astype(np.int32)

@@ -1,0 +1,142 @@
+"""Matching-kernel tests against a numpy oracle.
+
+Same oracle + budgets as the reference suite
+(``/root/reference/test/test_feature.py``): exact matchers must agree
+with the oracle with 0 mismatches; approximate matchers get the
+reference's error budgets (ANN <=30%, k-medians <=40%, cascade-hash
+<=40% — ours are deterministic, unlike the reference's unseeded RNG).
+"""
+
+import numpy as np
+import pytest
+
+from spectavi_tpu import match
+from spectavi_tpu.features import normalize_to_ubyte_and_multiple_16_dim
+
+
+def brute_force_nn_batched(x, y, k=2, p=2, get_dist=False):
+    """Reference oracle (``test/test_feature.py:10-26``)."""
+    p_norm = np.abs if p == 1 else np.square
+    bs = 1000
+    res, resd = [], []
+    yrows, dim = y.shape
+    for i in range(0, yrows, bs):
+        dist = np.sum(
+            p_norm(x.reshape(-1, 1, dim) - y[i : i + bs].reshape(1, -1, dim)),
+            axis=-1,
+        )
+        res.append(np.argsort(dist, axis=0)[:k].T)
+        if get_dist:
+            resd.append(np.sort(dist, axis=0)[:k].T)
+    return np.vstack(res) if not get_dist else [np.vstack(res), np.vstack(resd)]
+
+
+def test_nn_bruteforce_exact(rng):
+    x = rng.standard_normal((1000, 132)).astype("float32")
+    y = rng.standard_normal((1000, 132)).astype("float32")
+    nni, nnd = match.nn_bruteforce(x, y, k=2, p=2.0, mu=0)
+    gt = brute_force_nn_batched(x, y, 2)
+    assert np.sum(np.abs(gt.astype(np.int64) - nni.astype(np.int64)) > 0) == 0
+    # distances ascending
+    assert np.all(nnd[:, 0] <= nnd[:, 1])
+
+
+def test_nn_bruteforce_p1(rng):
+    x = rng.standard_normal((300, 64)).astype("float32")
+    y = rng.standard_normal((200, 64)).astype("float32")
+    nni, _ = match.nn_bruteforce(x, y, k=2, p=1.0)
+    gt = brute_force_nn_batched(x, y, 2, p=1)
+    assert np.sum(np.abs(gt.astype(np.int64) - nni.astype(np.int64)) > 0) == 0
+
+
+def test_nn_bruteforcel1k2_exact_distances(rng):
+    x = rng.uniform(low=0, high=256, size=(200, 144)).astype("uint8")
+    y = rng.uniform(low=0, high=256, size=(200, 144)).astype("uint8")
+    _, nnd = match.nn_bruteforcel1k2(x, y)
+    _, gt_nnd = brute_force_nn_batched(
+        x.astype("int32"), y.astype("int32"), 2, p=1, get_dist=True
+    )
+    assert np.sum(np.abs(gt_nnd - nnd) > 0) == 0
+
+
+def test_nn_bruteforcel1k2_alignment_check(rng):
+    x = rng.uniform(0, 255, size=(10, 20)).astype("uint8")
+    with pytest.raises(ValueError):
+        match.nn_bruteforcel1k2(x, x)
+
+
+def test_pallas_l1_kernel_interpret_matches_xla(rng):
+    """The Pallas streaming kernel (interpret mode on CPU) must agree
+    exactly with the XLA fallback, including tie-handling."""
+    import jax.numpy as jnp
+
+    from spectavi_tpu.match.bruteforce import l1_topk2_xla
+    from spectavi_tpu.ops.l1nn import l1_topk2_pallas
+
+    # small-range values force many distance ties
+    x = rng.integers(0, 4, size=(137, 32)).astype("uint8")
+    y = rng.integers(0, 4, size=(75, 32)).astype("uint8")
+    ip, dp = l1_topk2_pallas(jnp.asarray(x), jnp.asarray(y), interpret=True)
+    ix, dx = l1_topk2_xla(jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_array_equal(np.asarray(dp), np.asarray(dx))
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+
+
+def test_ann_within_budget(rng):
+    x = rng.standard_normal((1000, 132)).astype("float32")
+    y = rng.standard_normal((1000, 132)).astype("float32")
+    nni = match.ann_hnswlib(x, y, k=2)
+    gt = brute_force_nn_batched(x, y, 2)
+    diff = np.sum(np.abs(gt.astype(np.int64) - nni.astype(np.int64)) > 0)
+    assert diff <= 2 * round(0.3 * 1000)
+
+
+def test_ann_sharding_consistent(rng):
+    """Sharded merge must agree with the single-shard result."""
+    x = rng.standard_normal((1100, 64)).astype("float32")
+    y = rng.standard_normal((200, 64)).astype("float32")
+    a = match.ann(x, y, k=2, shard_size=250)
+    b = match.ann(x, y, k=2, shard_size=5000)
+    assert np.array_equal(a, b)
+
+
+def test_nn_kmedians_budget(rng):
+    xrows = 500
+    x = rng.standard_normal((xrows, 132)).astype("float32")
+    y = x.copy()
+    nni, _ = match.nn_kmedians(x, y, 2, c=30)
+    nni_bf, _ = match.nn_bruteforce(x, y, k=2, p=1.0, mu=0)
+    diff = np.sum(np.abs(nni.astype(np.int64) - nni_bf.astype(np.int64)) > 0)
+    assert diff <= 2 * round(0.4 * xrows)
+
+
+def test_nn_cascading_hash_budget(rng):
+    x = rng.standard_normal((200, 144)).astype("float32")
+    y = rng.standard_normal((200, 144)).astype("float32")
+    x = normalize_to_ubyte_and_multiple_16_dim(x)
+    y = normalize_to_ubyte_and_multiple_16_dim(y)
+    nni, nnd = match.nn_cascading_hash(x, y, m=8, n=16, g=5)
+    gt_nni, _ = brute_force_nn_batched(
+        x.astype("int32"), y.astype("int32"), 2, p=1, get_dist=True
+    )
+    diff = np.sum(np.abs(gt_nni.astype(np.int64) - nni.astype(np.int64)) > 0)
+    assert diff <= 2 * round(0.4 * 200)
+
+
+def test_nn_cascading_hash_fallback_small(rng):
+    """m auto-tunes below 4 for tiny inputs -> exact brute-force path."""
+    x = rng.standard_normal((40, 32)).astype("float32")
+    y = rng.standard_normal((40, 32)).astype("float32")
+    x = normalize_to_ubyte_and_multiple_16_dim(x)
+    y = normalize_to_ubyte_and_multiple_16_dim(y)
+    nni, _ = match.nn_cascading_hash(x, y)
+    gt = brute_force_nn_batched(x.astype("int32"), y.astype("int32"), 2, p=1)
+    assert np.sum(np.abs(gt.astype(np.int64) - nni.astype(np.int64)) > 0) == 0
+
+
+def test_normalize_to_ubyte(rng):
+    x = rng.standard_normal((100, 130)).astype("float32") * 37 + 5
+    xn = normalize_to_ubyte_and_multiple_16_dim(x)
+    assert xn.shape == (100, 144)
+    assert xn.min() >= -128 and xn.max() <= 127
+    assert np.all(xn[:, 130:] == 0)
