@@ -43,8 +43,7 @@ DEFAULT_OPTIONS = {
 }
 
 
-@partial(jax.jit, static_argnames=("trials",))
-def ransac_essential_batch(key, x0, x1, trials, reproj_allowed, svr_allowed):
+def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed):
     """Run one batch of RANSAC trials; return the batch winner.
 
     Parameters
@@ -101,6 +100,11 @@ def ransac_essential_batch(key, x0, x1, trials, reproj_allowed, svr_allowed):
         "count": flat[best],
         "inlier_mask": inlier_mask,
     }
+
+
+ransac_essential_batch = partial(jax.jit, static_argnames=("trials",))(
+    ransac_essential_core
+)
 
 
 def ransac_fitter(x0, x1, options=None, key=None, batch_trials=64):

@@ -1,0 +1,107 @@
+"""Sharded matching and the multi-chip two-view step.
+
+This is the scale-out layer the reference does not have (SURVEY.md
+§5.8): image pairs are data-parallel over the ``pairs`` mesh axis, and
+within a pair the descriptor database is sharded over the ``blocks``
+axis — each device computes exact top-2 neighbours against its local
+block, then the partial top-2 lists are merged with an ``all_gather``
+over ICI (the collective analogue of the reference's per-shard HNSW
+merge, ``src/Hnswlib.h:68-93``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from spectavi_tpu.match.bruteforce import l1_topk2_xla
+from spectavi_tpu.mvg.ransac import ransac_essential_core
+from spectavi_tpu.parallel.mesh import BLOCKS, PAIRS
+
+
+def _merge_block_topk(idx, dist, axis_name, block_rows):
+    """Merge per-block local top-2 (local indices) into global top-2."""
+    bid = jax.lax.axis_index(axis_name)
+    gidx = idx + bid * block_rows
+    all_idx = jax.lax.all_gather(gidx, axis_name)  # (nb, Y, 2)
+    all_dist = jax.lax.all_gather(dist, axis_name)
+    nb = all_idx.shape[0]
+    Y = all_idx.shape[1]
+    idx2 = jnp.moveaxis(all_idx, 0, 1).reshape(Y, nb * 2)
+    d2 = jnp.moveaxis(all_dist, 0, 1).reshape(Y, nb * 2)
+    neg_d, sel = jax.lax.top_k(-d2, 2)
+    return jnp.take_along_axis(idx2, sel, axis=1), -neg_d
+
+
+def sharded_l1_topk2(mesh, x, y):
+    """Exact top-2 L1 matching with the database sharded over ``blocks``.
+
+    ``x``: ``(X, D)`` int descriptors (X divisible by the blocks axis),
+    ``y``: ``(Y, D)`` queries (replicated).  Output replicated.
+    """
+
+    def local(xl, yl):
+        idx, dist = l1_topk2_xla(xl, yl)
+        return _merge_block_topk(idx, dist, BLOCKS, xl.shape[0])
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(BLOCKS, None), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return fn(x, y)
+
+
+def make_two_view_step(mesh, trials=32, reproj_allowed=1e-3, svr_allowed=3e-2):
+    """Build the jitted multi-chip two-view "training step".
+
+    Input: a batch of image pairs, sharded ``pairs`` x ``blocks``:
+
+    * ``desc0 (B, X, D)`` int32 descriptors of image 0 (the database),
+      sharded ``(pairs, blocks)``;
+    * ``desc1 (B, Y, D)`` descriptors of image 1 (queries), sharded
+      ``(pairs,)``;
+    * ``pts0 (B, X, 2)``, ``pts1 (B, Y, 2)`` calibrated euclidean
+      keypoint coordinates, sharded ``(pairs,)``;
+    * ``keys (B, 2)`` uint32 PRNG keys, sharded ``(pairs,)``.
+
+    Per pair: sharded top-2 matching (all_gather merge over ICI) ->
+    ratio-weighted correspondences -> batched RANSAC -> per-pair
+    essential matrix, camera, inlier count.
+    """
+
+    def per_pair(desc0, desc1, pts0, pts1, key):
+        idx, dist = l1_topk2_xla(desc0, desc1)
+        idx, dist = _merge_block_topk(idx, dist, BLOCKS, desc0.shape[0])
+        # correspondences: every query with its top-1 match (static
+        # shape; the host pipeline applies the ratio test instead)
+        x0 = pts0[idx[:, 0]]
+        x1 = pts1
+        out = ransac_essential_core(
+            key, x0, x1, trials, reproj_allowed, svr_allowed
+        )
+        return out["essential"], out["camera"], out["count"]
+
+    def stepfn(desc0, desc1, pts0, pts1, keys):
+        return jax.vmap(per_pair)(desc0, desc1, pts0, pts1, keys)
+
+    sharded = shard_map(
+        stepfn,
+        mesh=mesh,
+        in_specs=(
+            P(PAIRS, BLOCKS, None),
+            P(PAIRS, None, None),
+            P(PAIRS, None, None),
+            P(PAIRS, None, None),
+            P(PAIRS, None),
+        ),
+        out_specs=(P(PAIRS), P(PAIRS), P(PAIRS)),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
