@@ -1,0 +1,610 @@
+"""SIFT keypoint detection and description on TPU.
+
+From-scratch JAX implementation of the SIFT algorithm following
+vlfeat's conventions (the reference wraps vlfeat's C implementation,
+``src/Sift.h:49-137``; the driver loop there is octave-serial and
+keypoint-serial).  Here every stage is a batched array program with
+static shapes:
+
+* the Gaussian scale space is built with separable replicate-pad
+  convolutions (XLA convs);
+* DoG extrema detection is a single 26-neighbour comparison over the
+  whole ``(scales, H, W)`` volume;
+* the dynamic keypoint count is handled with the padding/masking
+  discipline: candidates are compacted to a static per-octave budget
+  with ``jnp.nonzero(size=...)`` and every later stage carries a
+  validity mask;
+* sub-pixel refinement is Newton iteration on *all* candidates at once
+  (3x3 closed-form solves, gathered 27-neighbourhoods);
+* orientation histograms and the 4x4x8 descriptor are computed as
+  batched window gathers + separable triangle-weight contractions
+  (an einsum — MXU work — instead of vlfeat's per-pixel scatter).
+
+Parameters mirror the reference's defaults: ``S = 3`` levels/octave,
+``o_min = -1`` (2x upsampled first octave), auto octave count,
+``edge_thresh = 10``, ``peak_thresh = 0``, ``magnif = 3``.  Output rows
+are ``[x, y, sigma, angle, 128-d descriptor]`` = 132 floats with the
+descriptor scaled by 512 and clamped to [0, 255], exactly the
+reference's layout (``src/Sift.h:13,115-121``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectavi_tpu.mvg.core import inv3x3
+
+# --- fixed algorithm constants (vlfeat conventions) ---
+S = 3  # levels per octave
+S_MIN = -1
+S_MAX = S + 1  # levels run s_min .. s_max  (S+3 images per octave)
+SIGMA_N = 0.5  # nominal smoothing of the input image
+SIGMA_K = 2.0 ** (1.0 / S)
+SIGMA_0 = 1.6 * SIGMA_K
+NBINS_ORI = 36
+NBP = 4  # spatial bins per side
+NBO = 8  # orientation bins
+WIN_FACTOR = float(NBP) / 2  # descriptor Gaussian window factor
+MAX_ANGLES = 4
+
+TWO_PI = 2.0 * np.pi
+
+
+def _gaussian_kernel(sigma):
+    r = max(int(np.ceil(4.0 * sigma)), 1)
+    xs = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(xs**2) / (2.0 * sigma * sigma))
+    k /= k.sum()
+    return jnp.asarray(k, dtype=jnp.float32)
+
+
+def _blur(im, sigma):
+    """Separable Gaussian blur with replicate padding (vlfeat's
+    PAD_BY_CONTINUITY convolution)."""
+    if sigma < 1e-8:
+        return im
+    k = _gaussian_kernel(sigma)
+    r = (k.shape[0] - 1) // 2
+    # rows
+    p = jnp.pad(im, ((0, 0), (r, r)), mode="edge")
+    im = jax.lax.conv_general_dilated(
+        p[None, None, :, :],
+        k[None, None, None, :],
+        (1, 1),
+        "VALID",
+    )[0, 0]
+    # cols
+    p = jnp.pad(im, ((r, r), (0, 0)), mode="edge")
+    im = jax.lax.conv_general_dilated(
+        p[None, None, :, :],
+        k[None, None, :, None],
+        (1, 1),
+        "VALID",
+    )[0, 0]
+    return im
+
+
+def _upsample2(im):
+    """2x bilinear upsample, vlfeat ``copy_and_upsample_rows`` applied
+    twice: out[2i] = in[i], out[2i+1] = (in[i] + in[i+1]) / 2 (clamped)."""
+
+    def up_axis(a, axis):
+        a = jnp.moveaxis(a, axis, 0)
+        nxt = jnp.concatenate([a[1:], a[-1:]], axis=0)
+        half = 0.5 * (a + nxt)
+        out = jnp.stack([a, half], axis=1).reshape((-1,) + a.shape[1:])
+        return jnp.moveaxis(out, 0, axis)
+
+    return up_axis(up_axis(im, 0), 1)
+
+
+def _downsample2(im):
+    return im[::2, ::2]
+
+
+def num_octaves(height, width, o_min=-1):
+    return max(int(np.floor(np.log2(min(width, height)))) - o_min - 3, 1)
+
+
+def build_scale_space(im, o_min=-1, n_octaves=None):
+    """Build the Gaussian scale space.
+
+    Returns a list (one per octave) of ``(S+3, H_o, W_o)`` arrays plus
+    the per-octave pixel scale ``xper = 2**o``.
+    """
+    H, W = im.shape
+    if n_octaves is None:
+        n_octaves = num_octaves(H, W, o_min)
+    octaves = []
+    xpers = []
+    base = im
+    if o_min < 0:
+        for _ in range(-o_min):
+            base = _upsample2(base)
+    elif o_min > 0:
+        for _ in range(o_min):
+            base = _downsample2(base)
+
+    for oi in range(n_octaves):
+        o = o_min + oi
+        if oi == 0:
+            sa = SIGMA_0 * (SIGMA_K**S_MIN)
+            sb = SIGMA_N * (2.0**-o)
+            first = _blur(base, np.sqrt(max(sa * sa - sb * sb, 0.0)))
+        else:
+            # decimate level s_min + S of the previous octave (its sigma
+            # is exactly 2x the next octave's first level)
+            first = _downsample2(octaves[-1][S_MIN + S - S_MIN])
+        levels = [first]
+        for s in range(S_MIN + 1, S_MAX + 1):
+            sd = SIGMA_0 * np.sqrt(SIGMA_K ** (2 * s) - SIGMA_K ** (2 * s - 2))
+            levels.append(_blur(levels[-1], sd))
+        octaves.append(jnp.stack(levels))
+        xpers.append(2.0**o)
+    return octaves, xpers
+
+
+def _gradients(gss):
+    """Gradient modulus/angle for the descriptor/orientation levels.
+
+    ``gss``: ``(S+3, H, W)``; returns ``(mod, ang)`` of shape
+    ``(S, H, W)`` for levels s = 0..S-1 (indices 1..S of the octave).
+    Central differences with the 0.5 factor, edges replicated.
+    """
+    lv = gss[1 : 1 + S]
+    gx = 0.5 * (jnp.roll(lv, -1, axis=2) - jnp.roll(lv, 1, axis=2))
+    gy = 0.5 * (jnp.roll(lv, -1, axis=1) - jnp.roll(lv, 1, axis=1))
+    # replicate edge gradients (roll wraps; fix borders with one-sided)
+    gx = gx.at[:, :, 0].set(lv[:, :, 1] - lv[:, :, 0])
+    gx = gx.at[:, :, -1].set(lv[:, :, -1] - lv[:, :, -2])
+    gy = gy.at[:, 0, :].set(lv[:, 1, :] - lv[:, 0, :])
+    gy = gy.at[:, -1, :].set(lv[:, -1, :] - lv[:, -2, :])
+    mod = jnp.sqrt(gx * gx + gy * gy)
+    ang = jnp.mod(jnp.arctan2(gy, gx), TWO_PI)
+    return mod, ang
+
+
+def _extrema_mask(dog, peak_thresh):
+    """26-neighbour extrema of the DoG volume ``(S+2, H, W)`` at scales
+    1..S (i.e. detection levels), interior pixels only."""
+    neigh = []
+    for ds in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                neigh.append(
+                    jnp.roll(jnp.roll(jnp.roll(dog, -ds, 0), -dy, 1), -dx, 2)
+                )
+    stack = jnp.stack(neigh)  # (26, S+2, H, W)
+    v = dog
+    thr = 0.8 * peak_thresh
+    is_max = (v > thr) & jnp.all(v > stack, axis=0)
+    is_min = (v < -thr) & jnp.all(v < stack, axis=0)
+    mask = is_max | is_min
+    # restrict to interior scales and pixels
+    Sn, H, W = dog.shape
+    mask = mask[1 : Sn - 1]
+    ygrid = jnp.arange(H)
+    xgrid = jnp.arange(W)
+    mask = mask & ((ygrid >= 1) & (ygrid <= H - 2))[None, :, None]
+    mask = mask & ((xgrid >= 1) & (xgrid <= W - 2))[None, None, :]
+    return mask  # (S, H, W) for detection scales s = 0..S-1
+
+
+def _gather3x3x3(dog, si, yi, xi):
+    """Gather 3x3x3 neighbourhoods around (si+1, yi, xi) from the DoG
+    volume; returns ``(K, 3, 3, 3)`` (ds, dy, dx)."""
+    offs = jnp.arange(-1, 2)
+    sidx = (si[:, None, None, None] + 1) + offs[None, :, None, None]
+    yidx = yi[:, None, None, None] + offs[None, None, :, None]
+    xidx = xi[:, None, None, None] + offs[None, None, None, :]
+    Sn, H, W = dog.shape
+    sidx = jnp.clip(sidx, 0, Sn - 1)
+    yidx = jnp.clip(yidx, 0, H - 1)
+    xidx = jnp.clip(xidx, 0, W - 1)
+    flat = dog.reshape(-1)
+    lin = (sidx * H + yidx) * W + xidx
+    return flat[lin.reshape(-1)].reshape(si.shape[0], 3, 3, 3)
+
+
+@partial(jax.jit, static_argnames=("max_kp", "n_iter"))
+def detect_refine(dog, peak_thresh, edge_thresh, max_kp, n_iter=5):
+    """Detect DoG extrema and refine them to sub-pixel accuracy.
+
+    Returns dict of ``(max_kp,)`` arrays: ``x, y, s`` (refined, octave
+    pixels / continuous scale), ``is_`` (integer detection level),
+    ``valid``.
+    """
+    Sn, H, W = dog.shape  # Sn = S + 2
+    mask = _extrema_mask(dog, peak_thresh)
+    flat = mask.reshape(-1)
+    count = flat.sum()
+    (cand,) = jnp.nonzero(flat, size=max_kp, fill_value=0)
+    valid = jnp.arange(max_kp) < count
+    si = (cand // (H * W)).astype(jnp.int32)  # detection scale 0..S-1
+    rem = cand % (H * W)
+    yi = (rem // W).astype(jnp.int32)
+    xi = (rem % W).astype(jnp.int32)
+
+    def newton(carry, _):
+        yi, xi = carry
+        n = _gather3x3x3(dog, si, yi, xi)  # (K,3,3,3)
+        # first derivatives (central)
+        Dx = 0.5 * (n[:, 1, 1, 2] - n[:, 1, 1, 0])
+        Dy = 0.5 * (n[:, 1, 2, 1] - n[:, 1, 0, 1])
+        Ds = 0.5 * (n[:, 2, 1, 1] - n[:, 0, 1, 1])
+        v = n[:, 1, 1, 1]
+        Dxx = n[:, 1, 1, 2] + n[:, 1, 1, 0] - 2 * v
+        Dyy = n[:, 1, 2, 1] + n[:, 1, 0, 1] - 2 * v
+        Dss = n[:, 2, 1, 1] + n[:, 0, 1, 1] - 2 * v
+        Dxy = 0.25 * (n[:, 1, 2, 2] + n[:, 1, 0, 0] - n[:, 1, 2, 0] - n[:, 1, 0, 2])
+        Dxs = 0.25 * (n[:, 2, 1, 2] + n[:, 0, 1, 0] - n[:, 2, 1, 0] - n[:, 0, 1, 2])
+        Dys = 0.25 * (n[:, 2, 2, 1] + n[:, 0, 0, 1] - n[:, 2, 0, 1] - n[:, 0, 2, 1])
+        Hm = jnp.stack(
+            [
+                jnp.stack([Dxx, Dxy, Dxs], -1),
+                jnp.stack([Dxy, Dyy, Dys], -1),
+                jnp.stack([Dxs, Dys, Dss], -1),
+            ],
+            -2,
+        )  # (K, 3, 3)
+        g = jnp.stack([Dx, Dy, Ds], -1)
+        det = jnp.linalg.det(Hm)
+        safe = jnp.abs(det) > 1e-30
+        Hs = jnp.where(safe[:, None, None], Hm, jnp.eye(3, dtype=Hm.dtype))
+        b = -jnp.einsum("kij,kj->ki", inv3x3(Hs), g)
+        b = jnp.where(safe[:, None], b, 0.0)
+        # relocate integer position when the offset exceeds 0.6
+        dx = jnp.where((b[:, 0] > 0.6) & (xi < W - 2), 1, 0) + jnp.where(
+            (b[:, 0] < -0.6) & (xi > 1), -1, 0
+        )
+        dy = jnp.where((b[:, 1] > 0.6) & (yi < H - 2), 1, 0) + jnp.where(
+            (b[:, 1] < -0.6) & (yi > 1), -1, 0
+        )
+        return (yi + dy, xi + dx), None
+
+    (yi, xi), _ = jax.lax.scan(newton, (yi, xi), None, length=n_iter - 1)
+
+    # final evaluation at the settled integer location
+    n = _gather3x3x3(dog, si, yi, xi)
+    Dx = 0.5 * (n[:, 1, 1, 2] - n[:, 1, 1, 0])
+    Dy = 0.5 * (n[:, 1, 2, 1] - n[:, 1, 0, 1])
+    Ds = 0.5 * (n[:, 2, 1, 1] - n[:, 0, 1, 1])
+    v = n[:, 1, 1, 1]
+    Dxx = n[:, 1, 1, 2] + n[:, 1, 1, 0] - 2 * v
+    Dyy = n[:, 1, 2, 1] + n[:, 1, 0, 1] - 2 * v
+    Dss = n[:, 2, 1, 1] + n[:, 0, 1, 1] - 2 * v
+    Dxy = 0.25 * (n[:, 1, 2, 2] + n[:, 1, 0, 0] - n[:, 1, 2, 0] - n[:, 1, 0, 2])
+    Dxs = 0.25 * (n[:, 2, 1, 2] + n[:, 0, 1, 0] - n[:, 2, 1, 0] - n[:, 0, 1, 2])
+    Dys = 0.25 * (n[:, 2, 2, 1] + n[:, 0, 0, 1] - n[:, 2, 0, 1] - n[:, 0, 2, 1])
+    Hm = jnp.stack(
+        [
+            jnp.stack([Dxx, Dxy, Dxs], -1),
+            jnp.stack([Dxy, Dyy, Dys], -1),
+            jnp.stack([Dxs, Dys, Dss], -1),
+        ],
+        -2,
+    )
+    g = jnp.stack([Dx, Dy, Ds], -1)
+    det3d = jnp.linalg.det(Hm)
+    safe = jnp.abs(det3d) > 1e-30
+    Hs = jnp.where(safe[:, None, None], Hm, jnp.eye(3, dtype=Hm.dtype))
+    b = -jnp.einsum("kij,kj->ki", inv3x3(Hs), g)
+    b = jnp.where(safe[:, None], b, 0.0)
+
+    val = v + 0.5 * (Dx * b[:, 0] + Dy * b[:, 1] + Ds * b[:, 2])
+    det2 = Dxx * Dyy - Dxy * Dxy
+    tr2 = (Dxx + Dyy) ** 2
+    edge_ok = (det2 > 0) & (
+        tr2 / jnp.where(det2 > 0, det2, 1.0)
+        < (edge_thresh + 1.0) ** 2 / edge_thresh
+    )
+    xn = xi + b[:, 0]
+    yn = yi + b[:, 1]
+    sn = si + b[:, 2]  # detection-scale coordinates (0..S-1)
+
+    good = (
+        valid
+        & (jnp.abs(val) > peak_thresh)
+        & edge_ok
+        & (jnp.abs(b[:, 0]) < 1.5)
+        & (jnp.abs(b[:, 1]) < 1.5)
+        & (jnp.abs(b[:, 2]) < 1.5)
+        & (xn >= 0)
+        & (xn <= W - 1)
+        & (yn >= 0)
+        & (yn <= H - 1)
+    )
+    return {"x": xn, "y": yn, "s": sn, "is_": si, "yi": yi, "xi": xi, "valid": good}
+
+
+def _window_gather(level_arr, is_, yc, xc, radius):
+    """Gather square windows from per-level arrays.
+
+    ``level_arr``: ``(S, H, W)``; ``is_``: ``(K,)`` level ids;
+    ``yc, xc``: ``(K,)`` integer centres.  Returns ``(vals (K, P),
+    dy (K, P), dx (K, P), inb (K, P))`` with P = (2R+1)^2.
+    """
+    Sn, H, W = level_arr.shape
+    offs = jnp.arange(-radius, radius + 1)
+    ox = jnp.tile(offs[None, :], (2 * radius + 1, 1)).reshape(-1)
+    oy = jnp.repeat(offs, 2 * radius + 1)
+    yidx = yc[:, None] + oy[None, :]
+    xidx = xc[:, None] + ox[None, :]
+    inb = (yidx >= 0) & (yidx < H) & (xidx >= 0) & (xidx < W)
+    yc_ = jnp.clip(yidx, 0, H - 1)
+    xc_ = jnp.clip(xidx, 0, W - 1)
+    lin = (is_[:, None] * H + yc_) * W + xc_
+    vals = level_arr.reshape(-1)[lin.reshape(-1)].reshape(lin.shape)
+    return vals, oy, ox, inb
+
+
+@partial(jax.jit, static_argnames=("radius",))
+def orientations(mod, ang, kp_x, kp_y, kp_sigma, kp_is, kp_valid, radius):
+    """Dominant orientations per keypoint (vlfeat semantics: 36-bin
+    gradient histogram, Gaussian window sigma = 1.5*sigma, 6x circular
+    box smoothing, peaks >= 0.8*max with parabolic refinement, up to 4).
+
+    Returns ``(angles (K, 4), avalid (K, 4))``.
+    """
+    yi = jnp.round(kp_y).astype(jnp.int32)
+    xi = jnp.round(kp_x).astype(jnp.int32)
+    m, oy, ox, inb = _window_gather(mod, kp_is, yi, xi, radius)
+    a, _, _, _ = _window_gather(ang, kp_is, yi, xi, radius)
+
+    sigmaw = 1.5 * kp_sigma  # octave-relative sigma
+    Wr = jnp.maximum(jnp.floor(3.0 * sigmaw), 1.0)
+    dy = (yi[:, None] + oy[None, :]) - kp_y[:, None]
+    dx = (xi[:, None] + ox[None, :]) - kp_x[:, None]
+    r2 = dx * dx + dy * dy
+    wgt = jnp.exp(-r2 / (2.0 * sigmaw[:, None] ** 2))
+    sel = inb & (r2 < Wr[:, None] ** 2 + 0.6)
+    contrib = jnp.where(sel, m * wgt, 0.0)
+
+    bins = jnp.floor(NBINS_ORI * a / TWO_PI).astype(jnp.int32) % NBINS_ORI
+    K = contrib.shape[0]
+    rowid = jnp.arange(K, dtype=jnp.int32)[:, None].repeat(bins.shape[1], 1)
+    hist = jnp.zeros((K, NBINS_ORI), contrib.dtype).at[rowid, bins].add(contrib)
+
+    for _ in range(6):
+        hist = (jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)) / 3.0
+
+    hmax = hist.max(axis=1, keepdims=True)
+    hp = jnp.roll(hist, -1, axis=1)
+    hm = jnp.roll(hist, 1, axis=1)
+    is_peak = (hist > hm) & (hist > hp) & (hist >= 0.8 * hmax)
+    # keep the first MAX_ANGLES peaks in bin order (vlfeat iterates bins
+    # ascending and stops at 4)
+    binidx = jnp.arange(NBINS_ORI)[None, :].repeat(hist.shape[0], 0)
+    order_key = jnp.where(is_peak, binidx, NBINS_ORI + 1)
+    sel_bins = -jax.lax.top_k(-order_key, MAX_ANGLES)[0]  # 4 smallest
+    avalid = sel_bins <= NBINS_ORI
+    sel_bins = jnp.clip(sel_bins, 0, NBINS_ORI - 1)
+    h0 = jnp.take_along_axis(hist, sel_bins, 1)
+    hpk = jnp.take_along_axis(hp, sel_bins, 1)
+    hmk = jnp.take_along_axis(hm, sel_bins, 1)
+    denom = hpk + hmk - 2.0 * h0
+    di = jnp.where(jnp.abs(denom) > 1e-20, -0.5 * (hpk - hmk) / denom, 0.0)
+    th = jnp.mod(TWO_PI * (sel_bins + di + 0.5) / NBINS_ORI, TWO_PI)
+    avalid = avalid & kp_valid[:, None]
+    return th, avalid
+
+
+@partial(jax.jit, static_argnames=("radius", "magnif"))
+def descriptors(mod, ang, kp_x, kp_y, kp_sigma, kp_is, kp_angle, kp_valid, radius, magnif=3.0):
+    """4x4x8 SIFT descriptors (vlfeat semantics) for (keypoint, angle)
+    rows.  Returns ``(K, 128)`` float32 in [0, 1]-normalized form."""
+    yi = jnp.round(kp_y).astype(jnp.int32)
+    xi = jnp.round(kp_x).astype(jnp.int32)
+    m, oy, ox, inb = _window_gather(mod, kp_is, yi, xi, radius)
+    a, _, _, _ = _window_gather(ang, kp_is, yi, xi, radius)
+
+    SBP = magnif * kp_sigma  # (K,)
+    wsigma = WIN_FACTOR * SBP
+    Wr = SBP * (NBP + 1) / 2.0 * np.sqrt(2.0) + 0.5
+
+    dy = (yi[:, None] + oy[None, :]) - kp_y[:, None]
+    dx = (xi[:, None] + ox[None, :]) - kp_x[:, None]
+    ct = jnp.cos(kp_angle)[:, None]
+    st = jnp.sin(kp_angle)[:, None]
+    nx = (ct * dx + st * dy) / SBP[:, None]
+    ny = (-st * dx + ct * dy) / SBP[:, None]
+    theta = jnp.mod(a - kp_angle[:, None], TWO_PI)
+    nt = NBO * theta / TWO_PI
+
+    win = jnp.exp(-(dx * dx + dy * dy) / (2.0 * wsigma[:, None] ** 2))
+    sel = inb & (jnp.abs(dx) <= Wr[:, None]) & (jnp.abs(dy) <= Wr[:, None])
+    contrib = jnp.where(sel, m * win, 0.0)  # (K, P)
+
+    # separable triangle weights: spatial bins centred at i - (NBP-1)/2
+    centers = jnp.arange(NBP, dtype=nx.dtype) - (NBP - 1) / 2.0  # (-1.5..1.5)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(nx[:, :, None] - centers))  # (K,P,4)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(ny[:, :, None] - centers))
+    obins = jnp.arange(NBO, dtype=nt.dtype)
+    dth = jnp.abs(nt[:, :, None] - obins)
+    dth = jnp.minimum(dth, NBO - dth)  # circular
+    wo = jnp.maximum(0.0, 1.0 - dth)  # (K,P,8)
+
+    # contract spatial bins with static loops so the peak intermediate
+    # stays at (K, P) instead of (K, P, 4, 4)
+    cols = []
+    for iy_bin in range(NBP):
+        for ix_bin in range(NBP):
+            w2 = contrib * wy[:, :, iy_bin] * wx[:, :, ix_bin]  # (K, P)
+            cols.append(jnp.einsum("kp,kpo->ko", w2, wo))  # (K, 8)
+    desc = jnp.concatenate(cols, axis=1)  # row-major (y, x, o) like vlfeat
+
+    # normalize -> clamp 0.2 -> renormalize
+    norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
+    desc = desc / jnp.maximum(norm, 1e-12)
+    desc = jnp.minimum(desc, 0.2)
+    norm = jnp.linalg.norm(desc, axis=1, keepdims=True)
+    desc = desc / jnp.maximum(norm, 1e-12)
+    desc = jnp.where(kp_valid[:, None], desc, 0.0)
+    return desc
+
+
+def _bucket_pad(n, minimum=64):
+    """Static-shape bucket for a dynamic count: next power of two."""
+    return max(minimum, 1 << max(n - 1, 0).bit_length())
+
+
+def _octave_keypoints(gss, xper, peak_thresh, edge_thresh, magnif, max_kp):
+    """Run detection, orientation, and description for one octave.
+
+    Returns numpy ``(n, 132)`` rows in vlfeat layout/order for this
+    octave.  Stages are host-driven: after each masked device stage the
+    survivors are compacted to a power-of-two bucket so the (much
+    larger) static detection budget doesn't propagate into the
+    orientation/descriptor gathers.
+    """
+    dog = gss[1:] - gss[:-1]  # (S+2, H, W)
+    H, W = gss.shape[1:]
+    det = detect_refine(dog, peak_thresh, edge_thresh, max_kp)
+    mod, ang = _gradients(gss)
+
+    # --- compact survivors of detection ---
+    valid_np = np.asarray(det["valid"])
+    sel = np.where(valid_np)[0]
+    n_det = len(sel)
+    if n_det == 0:
+        return np.zeros((0, 132), dtype=np.float32)
+    bucket = _bucket_pad(n_det)
+    sel_pad = np.concatenate([sel, np.zeros(bucket - n_det, dtype=sel.dtype)])
+    kp_x = jnp.asarray(np.asarray(det["x"])[sel_pad])
+    kp_y = jnp.asarray(np.asarray(det["y"])[sel_pad])
+    kp_s = jnp.asarray(np.asarray(det["s"])[sel_pad])
+    kp_valid = jnp.asarray(np.arange(bucket) < n_det)
+
+    sigma_oct = SIGMA_0 * (2.0 ** (kp_s / S))  # octave-relative
+    kp_is = jnp.clip(kp_s.round().astype(jnp.int32), 0, S - 1)
+
+    # orientation window radius: bound by the largest possible sigma
+    r_or = int(np.floor(3.0 * 1.5 * SIGMA_0 * 2 ** ((S - 1 + 1.5) / S)) + 1)
+    th, avalid = orientations(mod, ang, kp_x, kp_y, sigma_oct, kp_is, kp_valid, r_or)
+
+    # --- expand (keypoint, angle) pairs and compact again ---
+    av_np = np.asarray(avalid).reshape(-1)
+    sel2 = np.where(av_np)[0]
+    n_ang = len(sel2)
+    if n_ang == 0:
+        return np.zeros((0, 132), dtype=np.float32)
+    bucket2 = _bucket_pad(n_ang)
+    sel2_pad = np.concatenate([sel2, np.zeros(bucket2 - n_ang, dtype=sel2.dtype)])
+    rep = lambda a: jnp.asarray(np.repeat(np.asarray(a), MAX_ANGLES)[sel2_pad])
+    kx = rep(kp_x)
+    ky = rep(kp_y)
+    ksig = rep(sigma_oct)
+    kis = rep(kp_is)
+    kth = jnp.asarray(np.asarray(th).reshape(-1)[sel2_pad])
+    kval = jnp.asarray(np.arange(bucket2) < n_ang)
+
+    r_de = int(
+        np.floor(
+            magnif * SIGMA_0 * 2 ** ((S - 1 + 1.5) / S) * (NBP + 1) / 2.0 * np.sqrt(2.0)
+            + 1.0
+        )
+    )
+    # chunk the descriptor computation to bound the window-gather size
+    descs = []
+    CH = 256
+    KA = int(kx.shape[0])
+    for i in range(0, KA, CH):
+        sl = slice(i, min(i + CH, KA))
+        descs.append(
+            descriptors(
+                mod,
+                ang,
+                kx[sl],
+                ky[sl],
+                ksig[sl],
+                kis[sl],
+                kth[sl],
+                kval[sl],
+                r_de,
+                float(magnif),
+            )
+        )
+    desc = jnp.concatenate(descs, axis=0)
+
+    kval_np = np.asarray(kval)
+    if not kval_np.any():
+        return np.zeros((0, 132), dtype=np.float32)
+    rows = np.concatenate(
+        [
+            (np.asarray(kx) * xper)[:, None],
+            (np.asarray(ky) * xper)[:, None],
+            (np.asarray(ksig) * xper)[:, None],
+            np.asarray(kth)[:, None],
+            np.minimum(np.floor(512.0 * np.asarray(desc)), 255.0),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    return rows[kval_np]
+
+
+def sift_filter(
+    im,
+    peak_thresh=0.0,
+    edge_thresh=10.0,
+    magnif=3.0,
+    o_min=-1,
+    n_octaves=None,
+    max_kp_per_octave=8192,
+):
+    """Detect SIFT keypoints + 128-d descriptors.
+
+    API parity with ``spectavi.feature.sift_filter`` (reference
+    ``spectavi/feature.py:29-50``): 2-D float image in, ``(nkp, 132)``
+    float32 out with rows ``[x, y, sigma, angle, desc x 128]``.
+    """
+    im = np.asarray(im, dtype=np.float32)
+    if im.ndim != 2:
+        raise TypeError("Only 2d images are supported.")
+    imj = jnp.asarray(im)
+    octaves, xpers = build_scale_space(imj, o_min=o_min, n_octaves=n_octaves)
+    out = []
+    for gss, xper in zip(octaves, xpers):
+        H, W = gss.shape[1:]
+        budget = int(min(max_kp_per_octave, max(512, (H * W) // 16)))
+        out.append(
+            _octave_keypoints(gss, xper, peak_thresh, edge_thresh, magnif, budget)
+        )
+    return np.concatenate(out, axis=0) if out else np.zeros((0, 132), np.float32)
+
+
+def sift_filter_batch(ims, nthread=None):
+    """Batch SIFT (reference ``sift_filter_batch``): list in, list out.
+    Scheduling is XLA's job; ``nthread`` kept for API parity."""
+    del nthread
+    return [sift_filter(im) for im in ims]
+
+
+def sift_filter_striped(im, nthread=8, buffer_size=20):
+    """Striped SIFT (reference ``spectavi/feature.py:111-152``): split
+    into overlapping horizontal stripes, SIFT each, keep keypoints in
+    stripe interiors.  Kept for API parity + halo'd-tile semantics."""
+    im = np.asarray(im, dtype=np.float32)
+    hgt = im.shape[0]
+    split_hgt = int(np.ceil(hgt / float(nthread)))
+    bboxes, ims = [], []
+    for iy in range(0, hgt, split_hgt):
+        iy_start, iy_end = iy, min(iy + split_hgt, hgt)
+        bf_start = max(iy_start - buffer_size, 0)
+        bf_end = min(iy_end + buffer_size + 1, hgt)
+        bboxes.append((iy_start, iy_end, bf_start))
+        ims.append(im[bf_start:bf_end])
+    sifts = sift_filter_batch(ims)
+    ret = []
+    for (iy_start, iy_end, bf_start), kp in zip(bboxes, sifts):
+        sy = kp[:, 1] + bf_start
+        kp = kp.copy()
+        kp[:, 1] = sy
+        idx = (sy > iy_start) & (sy < iy_end)
+        ret.append(kp[idx])
+    return np.vstack(ret)

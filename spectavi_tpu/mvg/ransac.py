@@ -107,7 +107,7 @@ ransac_essential_batch = partial(jax.jit, static_argnames=("trials",))(
 )
 
 
-def ransac_fitter(x0, x1, options=None, key=None, batch_trials=64):
+def ransac_fitter(x0, x1, options=None, key=None, batch_trials=64, max_batches=100, confidence=0.999):
     """Fit a two-view essential matrix to tentative correspondences.
 
     API parity with ``spectavi.mvg.ransac_fitter`` (reference
@@ -144,7 +144,8 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=64):
     best = None
     best_count = -1
     tries = 0
-    while tries < max_tries:
+    batches = 0
+    while tries < max_tries and batches < max_batches:
         trials = min(batch_trials, max_tries - tries)
         key, sub = jax.random.split(key)
         out = ransac_essential_batch(
@@ -160,8 +161,17 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=64):
             best_count = count
             best = out
         tries += trials
-        if best_count / N >= required:
+        batches += 1
+        w = max(best_count, 0) / N
+        if w >= required:
             break
+        # adaptive termination: enough trials for `confidence` odds of
+        # having sampled an all-inlier 7-subset at the observed rate
+        if w > 0:
+            denom = np.log1p(-min(w**7, 1 - 1e-12))
+            needed = np.log(1 - confidence) / denom
+            if tries >= needed:
+                break
 
     success = best_count / N >= required
     if not success and not opts["find_best_even_in_failure"]:

@@ -47,11 +47,13 @@ def _l1_topk2_kernel(x_ref, y_ref, idx_ref, dist_ref, *, n_valid, tx):
     gcol = j * tx + col
     d = jnp.where(gcol < n_valid, d, _I32_MAX)
 
+    # argmin is unsupported for int32 in Mosaic; use min + lowest index
+    # attaining it (also gives first-occurrence tie-breaks explicitly)
     m1 = jnp.min(d, axis=1, keepdims=True)  # (TY, 1)
-    i1 = jnp.argmin(d, axis=1, keepdims=True).astype(jnp.int32)
+    i1 = jnp.min(jnp.where(d == m1, col, _I32_MAX), axis=1, keepdims=True)
     dm = jnp.where(col == i1, _I32_MAX, d)
     m2 = jnp.min(dm, axis=1, keepdims=True)
-    i2 = jnp.argmin(dm, axis=1, keepdims=True).astype(jnp.int32)
+    i2 = jnp.min(jnp.where(dm == m2, col, _I32_MAX), axis=1, keepdims=True)
     gi1 = j * tx + i1
     gi2 = j * tx + i2
 

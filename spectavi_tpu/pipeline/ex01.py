@@ -1,0 +1,58 @@
+"""CLI for the two-view pipeline — ex01 equivalent.
+
+Usage (mirrors ``example/ex01_essential_estimation.py:264-294``):
+
+    python -m spectavi_tpu.pipeline.ex01 IM0 IM1 K.txt [--outdir DIR]
+        [--matching_method {bruteforce,cascading-hash}]
+        [--ransac_quality {low,medium,high,ultra,uber}]
+        [--min_ratio R] [--rsf F] [--cache] [--seed N]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from spectavi_tpu.pipeline.two_view import run_two_view
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Estimate the essential matrix of an image pair, "
+        "triangulate a sparse cloud, and rectify the pair (TPU-native)."
+    )
+    parser.add_argument("images", metavar="IM", type=str, nargs=2)
+    parser.add_argument("K", metavar="K", type=str)
+    parser.add_argument("--min_ratio", default=1.75, type=float)
+    parser.add_argument(
+        "--ransac_quality",
+        default="ultra",
+        choices=["low", "medium", "high", "ultra", "uber"],
+    )
+    parser.add_argument(
+        "--matching_method",
+        default="cascading-hash",
+        choices=["bruteforce", "cascading-hash"],
+    )
+    parser.add_argument("--outdir", default="ex01_out", type=str)
+    parser.add_argument("--rsf", default=1.0, type=float)
+    parser.add_argument("--cache", action="store_true")
+    parser.add_argument("--seed", default=0, type=int)
+    args = parser.parse_args(argv)
+
+    import jax
+
+    run_two_view(
+        args.images,
+        args.K,
+        outdir=args.outdir,
+        matching_method=args.matching_method,
+        min_ratio=args.min_ratio,
+        ransac_quality=args.ransac_quality,
+        rsf=args.rsf,
+        cache=args.cache,
+        key=jax.random.PRNGKey(args.seed),
+    )
+
+
+if __name__ == "__main__":
+    main()

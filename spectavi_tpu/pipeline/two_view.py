@@ -1,0 +1,192 @@
+"""End-to-end two-view SfM pipeline (the reference's ex01).
+
+Same five steps as ``example/ex01_essential_estimation.py:239-257``:
+
+1. SIFT keypoints + descriptors on both images;
+2. tentative correspondences via top-2 NN matching + inverted-Lowe
+   ratio test (``ratio = d2/d1 >= min_ratio``);
+3. robust essential-matrix estimation with K^-1-normalized points;
+4. DLT triangulation of inliers -> sparse PLY point cloud;
+5. epipolar rectification with ``P = K [R|t]``.
+
+Every compute step runs on the accelerator; this module is the host
+orchestration + IO glue.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from spectavi_tpu import mvg
+from spectavi_tpu.features import (
+    normalize_to_ubyte_and_multiple_16_dim,
+    sift_filter_batch,
+)
+from spectavi_tpu.match import nn_bruteforcel1k2, nn_cascading_hash
+from spectavi_tpu.pipeline.io import Timer, imread, write_ply
+
+
+def homogeneous(x):
+    return np.hstack((x, np.ones((x.shape[0], 1))))
+
+
+def step1_sift_detect(image_paths, quiet=False):
+    ims = [
+        imread(p, dtype="float32", force_grayscale=True) for p in image_paths
+    ]
+    with Timer("step1-computation", quiet):
+        siftkps = sift_filter_batch(ims)
+    return siftkps
+
+
+def step2_match_keypoints(siftkps, matching_method="cascading-hash", min_ratio=1.75, quiet=False):
+    x, y = siftkps
+    _x = normalize_to_ubyte_and_multiple_16_dim(x[:, 4:])
+    _y = normalize_to_ubyte_and_multiple_16_dim(y[:, 4:])
+    with Timer("step2-computation", quiet):
+        if matching_method == "bruteforce":
+            nn_idx, nn_dist = nn_bruteforcel1k2(
+                (_x + 128).astype("uint8"), (_y + 128).astype("uint8")
+            )
+        elif matching_method == "cascading-hash":
+            nn_idx, nn_dist = nn_cascading_hash(_x, _y)
+        else:
+            raise ValueError(matching_method)
+    ratio = nn_dist[:, 1] / np.maximum(nn_dist[:, 0].astype("float64"), 1e-12)
+    pass_idx = ratio >= min_ratio
+    idx0 = nn_idx[:, 0].astype(np.int64)
+    xd = x[idx0[pass_idx]]
+    yd = y[pass_idx]
+    return xd, yd
+
+
+def step3_estimate_essential(xd, yd, K, ransac_quality="ultra", options=None, key=None, quiet=False):
+    iK = np.linalg.inv(K)
+    x0 = homogeneous(xd[..., :2]) @ iK.T
+    x1 = homogeneous(yd[..., :2]) @ iK.T
+    quality = {"low": 0.6, "medium": 0.7, "high": 0.75, "ultra": 0.8, "uber": 0.9}
+    ransac_options = {
+        "required_percent_inliers": quality[ransac_quality],
+        "reprojection_error_allowed": 3.35e-4,
+        "maximum_tries": 10000000,
+        "find_best_even_in_failure": False,
+        "singular_value_ratio_allowed": 1e-3,
+        "progressbar": False,
+    }
+    if options:
+        ransac_options.update(options)
+    with Timer("step3-computation", quiet):
+        ransac = mvg.ransac_fitter(x0, x1, options=ransac_options, key=key)
+    return ransac, x0, x1, xd, yd
+
+
+def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False):
+    ransac, x0, x1, xd, yd = step3_out
+    idx = ransac["inlier_idx"]
+    P1 = ransac["camera"]
+    P0 = np.hstack((np.eye(3), np.zeros((3, 1))))
+    with Timer("step4-computation", quiet):
+        RX = mvg.dlt_triangulate(P0, P1, x0[idx], x1[idx])
+    RX = RX / RX[..., -1:].reshape(-1, 1)
+    rgb = None
+    if image_paths is not None:
+        im0 = imread(image_paths[0])
+        im1 = imread(image_paths[1])
+        xy0 = xd[idx, :2].astype("int32")
+        xy1 = yd[idx, :2].astype("int32")
+        im0v = im0[xy0[:, 1], xy0[:, 0]]
+        im1v = im1[xy1[:, 1], xy1[:, 0]]
+        rgb = np.round(255 * (im0v + im1v) / 2.0).astype("uint8")
+        if rgb.ndim == 1:
+            rgb = np.stack([rgb] * 3, axis=1)
+    if outdir is not None:
+        write_ply(os.path.join(outdir, "sparse_inliers.ply"), RX, rgb=rgb)
+    return RX, ransac
+
+
+def step5_rectify(ransac, K, image_paths, outdir=None, sampling_factor=1.0, quiet=False):
+    P1 = K @ ransac["camera"]
+    P0 = K @ np.hstack((np.eye(3), np.zeros((3, 1))))
+    im0 = imread(image_paths[0])
+    im1 = imread(image_paths[1])
+    with Timer("step5-computation", quiet):
+        r0, r1, ri0, ri1 = mvg.image_pair_rectification(
+            P0, P1, im0, im1, sampling_factor=sampling_factor
+        )
+    if outdir is not None:
+        from PIL import Image
+
+        for r, p in ((r0, image_paths[0]), (r1, image_paths[1])):
+            arr = np.clip(r * 255, 0, 255).astype("uint8")
+            Image.fromarray(arr).save(
+                os.path.join(outdir, "rect-" + os.path.basename(p))
+            )
+        ri0.tofile(
+            os.path.join(
+                outdir, "rect-idx-" + os.path.basename(image_paths[0]).split(".")[0]
+            )
+            + ".bin"
+        )
+        ri1.tofile(
+            os.path.join(
+                outdir, "rect-idx-" + os.path.basename(image_paths[1]).split(".")[0]
+            )
+            + ".bin"
+        )
+    return r0, r1, ri0, ri1
+
+
+def run_two_view(
+    image_paths,
+    K_path,
+    outdir="ex01_out",
+    matching_method="cascading-hash",
+    min_ratio=1.75,
+    ransac_quality="ultra",
+    rsf=1.0,
+    cache=False,
+    key=None,
+    quiet=False,
+):
+    """Full ex01-equivalent pipeline; returns a result dict."""
+    if outdir is not None:
+        os.makedirs(outdir, exist_ok=True)
+    K = np.loadtxt(K_path)
+
+    cache_file = os.path.join(outdir, "cache.npz") if outdir else None
+    step2_out = None
+    if cache and cache_file and os.path.exists(cache_file):
+        data = np.load(cache_file)
+        step2_out = (data["xd"], data["yd"])
+    if step2_out is None:
+        kps = step1_sift_detect(image_paths, quiet)
+        if not quiet:
+            print("sift 1 #: ", kps[0].shape[0])
+            print("sift 2 #: ", kps[1].shape[0])
+        step2_out = step2_match_keypoints(kps, matching_method, min_ratio, quiet)
+        if cache and cache_file:
+            np.savez_compressed(cache_file, xd=step2_out[0], yd=step2_out[1])
+
+    step3_out = step3_estimate_essential(
+        step2_out[0], step2_out[1], K, ransac_quality, key=key, quiet=quiet
+    )
+    ransac = step3_out[0]
+    if not quiet:
+        print(" Number of keypoints: ", step2_out[0].shape[0])
+        print(" Percent of inliers: ", ransac["inlier_percent"])
+        _, s, _ = np.linalg.svd(ransac["essential"])
+        print(" Fundamental Matrix Singular Values: ", s)
+        print(
+            " Singular Values ratio score: ",
+            np.abs(s[0] - s[1]) / np.abs(s[0] + s[1]),
+        )
+    RX, _ = step4_triangulate(step3_out, image_paths, outdir, quiet)
+    rect = step5_rectify(ransac, K, image_paths, outdir, rsf, quiet)
+    return {
+        "matches": step2_out,
+        "ransac": ransac,
+        "points": RX,
+        "rectified": rect,
+    }
