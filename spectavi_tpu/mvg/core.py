@@ -70,11 +70,21 @@ def essential_to_cameras(E):
 
 def cameras_from_svd(U, Vt):
     """Candidate cameras from a precomputed SVD of E (see
-    :func:`essential_to_cameras`); lets RANSAC reuse the SVD of F."""
+    :func:`essential_to_cameras`); lets RANSAC reuse the SVD of F.
+
+    Unlike the reference decomposition (``Essential2Cameras``,
+    ``src/Camera.h:31-46``) the rotations are forced *proper*
+    (det = +1): when ``det(U V^T) = -1`` the raw products are
+    reflections — projectively the same cameras, but poison downstream
+    pose chaining.  Scaling by the determinant flips the sign of the
+    whole matrix, preserving the projective camera and the cheirality
+    semantics.
+    """
     D = jnp.array([[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], U.dtype)
     t = U[..., :, 2]
-    Ra = U @ D @ Vt
-    Rb = U @ D.T @ Vt
+    s = jnp.sign(jnp.linalg.det(U @ Vt))[..., None, None]
+    Ra = U @ D @ Vt * s
+    Rb = U @ D.T @ Vt * s
     P = jnp.stack(
         [
             camera_from_rt(Ra, t),

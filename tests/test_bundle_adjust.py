@@ -1,0 +1,107 @@
+"""Bundle adjustment property tests on synthetic scenes."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from spectavi_tpu.sfm.bundle_adjust import (
+    ba_cost,
+    bundle_adjust,
+    rodrigues,
+    rotation_to_rvec,
+)
+
+
+def _synthetic_scene(rng, C=4, M=60, noise=0.0):
+    """Cameras in a ring looking at a point cloud near the origin."""
+    cams = []
+    for i in range(C):
+        ang = 0.25 * i
+        R = np.array(
+            [
+                [np.cos(ang), 0, np.sin(ang)],
+                [0, 1, 0],
+                [-np.sin(ang), 0, np.cos(ang)],
+            ]
+        )
+        Cc = np.array([3.0 * np.sin(ang), 0.3 * i, -8.0 + 0.5 * i])
+        t = -R @ Cc
+        cams.append(np.concatenate([rotation_to_rvec(R), t]))
+    cams = np.asarray(cams)
+    pts = rng.standard_normal((M, 3))
+
+    cam_idx, pt_idx, uv = [], [], []
+    for ci in range(C):
+        R = np.asarray(rodrigues(jnp.asarray(cams[ci, :3])))
+        t = cams[ci, 3:]
+        for mi in range(M):
+            Xc = R @ pts[mi] + t
+            if Xc[2] <= 0.1:
+                continue
+            u = Xc[:2] / Xc[2] + noise * rng.standard_normal(2)
+            cam_idx.append(ci)
+            pt_idx.append(mi)
+            uv.append(u)
+    return cams, pts, np.asarray(cam_idx), np.asarray(pt_idx), np.asarray(uv)
+
+
+def test_rodrigues_roundtrip(rng):
+    for _ in range(20):
+        r = rng.standard_normal(3)
+        R = np.asarray(rodrigues(jnp.asarray(r)))
+        assert np.allclose(R @ R.T, np.eye(3), atol=1e-10)
+        assert np.isclose(np.linalg.det(R), 1.0)
+        r2 = rotation_to_rvec(R)
+        R2 = np.asarray(rodrigues(jnp.asarray(r2)))
+        assert np.allclose(R, R2, atol=1e-8)
+
+
+def test_ba_zero_residual_stays(rng):
+    cams, pts, ci, pi, uv = _synthetic_scene(rng)
+    c0 = float(ba_cost(jnp.asarray(cams), jnp.asarray(pts), ci, pi, uv, jnp.ones(len(uv))))
+    assert c0 < 1e-20
+    new_cams, new_pts, hist = bundle_adjust(cams, pts, ci, pi, uv, max_iters=3)
+    assert hist[-1] < 1e-16
+
+
+def test_ba_recovers_from_perturbation(rng):
+    cams, pts, ci, pi, uv = _synthetic_scene(rng, C=5, M=80)
+    # perturb everything except the two gauge cameras
+    cams_n = cams.copy()
+    cams_n[2:] += 0.01 * rng.standard_normal(cams[2:].shape)
+    pts_n = pts + 0.05 * rng.standard_normal(pts.shape)
+    c0 = float(ba_cost(jnp.asarray(cams_n), jnp.asarray(pts_n), ci, pi, uv, jnp.ones(len(uv))))
+    new_cams, new_pts, hist = bundle_adjust(
+        cams_n, pts_n, ci, pi, uv, fixed_cameras=(0, 1), max_iters=25
+    )
+    assert hist[-1] < 1e-16 * max(c0 / 1e-10, 1.0) or hist[-1] < 1e-14
+    # reprojection residuals essentially zero again
+    assert hist[-1] < c0 * 1e-6
+
+
+def test_ba_noisy_observations_reduce_cost(rng):
+    cams, pts, ci, pi, uv = _synthetic_scene(rng, C=4, M=50, noise=1e-3)
+    cams_n = cams.copy()
+    cams_n[1:] += 0.005 * rng.standard_normal(cams[1:].shape)
+    pts_n = pts + 0.02 * rng.standard_normal(pts.shape)
+    c0 = float(ba_cost(jnp.asarray(cams_n), jnp.asarray(pts_n), ci, pi, uv, jnp.ones(len(uv))))
+    _, _, hist = bundle_adjust(cams_n, pts_n, ci, pi, uv, fixed_cameras=(0,), max_iters=15)
+    # converges to (near) the observation-noise floor
+    noise_floor = len(uv) * 2 * (1e-3) ** 2
+    assert hist[-1] < max(3 * noise_floor, c0 * 0.01)
+    assert hist[-1] < c0
+
+
+def test_ba_masked_observations(rng):
+    """Zero-weight (padding) observations must not affect the solution."""
+    cams, pts, ci, pi, uv = _synthetic_scene(rng, C=3, M=30)
+    # append garbage observations with zero weight
+    pad = 17
+    ci2 = np.concatenate([ci, np.zeros(pad, dtype=ci.dtype)])
+    pi2 = np.concatenate([pi, np.zeros(pad, dtype=pi.dtype)])
+    uv2 = np.concatenate([uv, 1e3 * np.ones((pad, 2))])
+    w2 = np.concatenate([np.ones(len(uv)), np.zeros(pad)])
+    cams_n = cams + 0.002 * rng.standard_normal(cams.shape) * (np.arange(3) > 0)[:, None]
+    a_cams, a_pts, _ = bundle_adjust(cams_n, pts, ci, pi, uv, max_iters=5)
+    b_cams, b_pts, _ = bundle_adjust(cams_n, pts, ci2, pi2, uv2, weights=w2, max_iters=5)
+    np.testing.assert_allclose(a_cams, b_cams, atol=1e-10)
+    np.testing.assert_allclose(a_pts, b_pts, atol=1e-10)
