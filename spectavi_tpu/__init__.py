@@ -25,4 +25,4 @@ Layout
 
 __version__ = "0.1.0"
 
-from spectavi_tpu import mvg, features, match, pipeline  # noqa: F401
+from spectavi_tpu import mvg, features, match, pipeline, sfm  # noqa: F401

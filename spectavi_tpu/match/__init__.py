@@ -12,6 +12,7 @@ from spectavi_tpu.match.bruteforce import (  # noqa: F401
     l1_topk2_xla,
     nn_bruteforce,
     nn_bruteforcel1k2,
+    nn_l2k2,
 )
 from spectavi_tpu.match.cascade_hash import nn_cascading_hash  # noqa: F401
 from spectavi_tpu.match.kmedians import kmedians, nn_kmedians  # noqa: F401

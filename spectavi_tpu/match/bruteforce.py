@@ -143,3 +143,17 @@ def nn_bruteforcel1k2(x, y, nthreads=None):
 
     idx, dist = l1_topk2(jnp.asarray(x), jnp.asarray(y))
     return np.asarray(idx).astype(np.uint64), np.asarray(dist).astype(np.int32)
+
+
+def nn_l2k2(x, y):
+    """Exact top-2 squared-L2 matcher on byte descriptors — the
+    TPU-native fast path (one MXU matmul; see
+    :mod:`spectavi_tpu.ops.l2nn`).  Same output contract as
+    :func:`nn_bruteforcel1k2` but with squared-L2 distances."""
+    from spectavi_tpu.ops.l2nn import l2_topk2
+
+    x = np.asarray(x)
+    y = np.asarray(y)
+    assert x.shape[1] == y.shape[1]
+    idx, dist = l2_topk2(jnp.asarray(x), jnp.asarray(y))
+    return np.asarray(idx).astype(np.uint64), np.asarray(dist).astype(np.int32)

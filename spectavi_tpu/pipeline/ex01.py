@@ -31,7 +31,7 @@ def main(argv=None):
     parser.add_argument(
         "--matching_method",
         default="cascading-hash",
-        choices=["bruteforce", "cascading-hash"],
+        choices=["bruteforce", "cascading-hash", "l2-mxu"],
     )
     parser.add_argument("--outdir", default="ex01_out", type=str)
     parser.add_argument("--rsf", default=1.0, type=float)

@@ -52,6 +52,12 @@ def step2_match_keypoints(siftkps, matching_method="cascading-hash", min_ratio=1
             )
         elif matching_method == "cascading-hash":
             nn_idx, nn_dist = nn_cascading_hash(_x, _y)
+        elif matching_method == "l2-mxu":
+            from spectavi_tpu.match import nn_l2k2
+
+            nn_idx, nn_dist = nn_l2k2(
+                (_x + 128).astype("uint8"), (_y + 128).astype("uint8")
+            )
         else:
             raise ValueError(matching_method)
     ratio = nn_dist[:, 1] / np.maximum(nn_dist[:, 0].astype("float64"), 1e-12)

@@ -1,0 +1,94 @@
+"""Distributed BA must agree with the single-device solver."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spectavi_tpu.parallel.mesh import host_cpu_mesh
+from spectavi_tpu.sfm.bundle_adjust import ba_step
+from spectavi_tpu.sfm.distributed import make_sharded_ba_step, pad_observations
+from tests.test_bundle_adjust import _synthetic_scene
+
+
+def test_sharded_ba_step_matches_local(rng):
+    cams, pts, ci, pi, uv = _synthetic_scene(rng, C=5, M=80)
+    cams_n = cams + 0.01 * rng.standard_normal(cams.shape) * (np.arange(5) > 0)[:, None]
+    pts_n = pts + 0.03 * rng.standard_normal(pts.shape)
+    w = np.ones(len(uv))
+    fixed = np.zeros(5, dtype=bool)
+    fixed[0] = True
+
+    mesh = host_cpu_mesh(8, n_blocks=1)
+    step = make_sharded_ba_step(mesh, axis="pairs", cg_iters=120)
+    ci8, pi8, uv8, w8 = pad_observations(ci, pi, uv, w, 8)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    put_obs = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("pairs")))
+    put_rep = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P()))
+
+    nc_s, np_s, cost_s = step(
+        put_rep(cams_n),
+        put_rep(pts_n),
+        put_obs(ci8),
+        put_obs(pi8),
+        put_obs(uv8),
+        put_obs(w8),
+        put_rep(jnp.asarray(1e-3)),
+        put_rep(jnp.asarray(fixed)),
+    )
+
+    nc_l, np_l, cost_l = ba_step(
+        jnp.asarray(cams_n),
+        jnp.asarray(pts_n),
+        jnp.asarray(ci),
+        jnp.asarray(pi),
+        jnp.asarray(uv),
+        jnp.asarray(w),
+        jnp.asarray(1e-3),
+        jnp.asarray(fixed),
+        cg_iters=120,
+    )
+
+    assert np.isclose(float(cost_s), float(cost_l), rtol=1e-10)
+    # CG at finite maxiter leaves O(1e-5) iterate differences from the
+    # different (psum) summation order; the step *quality* must match
+    np.testing.assert_allclose(np.asarray(nc_s), np.asarray(nc_l), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(np_s), np.asarray(np_l), atol=5e-4)
+    from spectavi_tpu.sfm.bundle_adjust import ba_cost
+
+    after_s = float(ba_cost(jnp.asarray(nc_s), jnp.asarray(np_s), jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv), jnp.asarray(w)))
+    after_l = float(ba_cost(jnp.asarray(nc_l), jnp.asarray(np_l), jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv), jnp.asarray(w)))
+    assert np.isclose(after_s, after_l, rtol=1e-4)
+    assert after_s < float(cost_s)
+
+
+def test_sharded_ba_converges(rng):
+    """Run a few sharded LM steps and require monotone cost decrease."""
+    cams, pts, ci, pi, uv = _synthetic_scene(rng, C=4, M=60)
+    cams_n = cams + 0.005 * rng.standard_normal(cams.shape) * (np.arange(4) > 0)[:, None]
+    pts_n = pts + 0.02 * rng.standard_normal(pts.shape)
+    w = np.ones(len(uv))
+    fixed = np.zeros(4, dtype=bool)
+    fixed[0] = True
+
+    mesh = host_cpu_mesh(4, n_blocks=1)
+    step = make_sharded_ba_step(mesh, axis="pairs", cg_iters=80)
+    ci4, pi4, uv4, w4 = pad_observations(ci, pi, uv, w, 4)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    put_obs = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("pairs")))
+    put_rep = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P()))
+    args = [put_obs(a) for a in (ci4, pi4, uv4, w4)]
+    cams_j, pts_j = put_rep(cams_n), put_rep(pts_n)
+    costs = []
+    from spectavi_tpu.sfm.bundle_adjust import ba_cost
+
+    for _ in range(5):
+        cams_j, pts_j, cost = step(
+            cams_j, pts_j, *args, put_rep(jnp.asarray(1e-4)), put_rep(jnp.asarray(fixed))
+        )
+        costs.append(float(cost))
+    final = float(ba_cost(cams_j, pts_j, jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv), jnp.asarray(w)))
+    assert final < costs[0] * 1e-3

@@ -82,6 +82,18 @@ def test_pallas_l1_kernel_interpret_matches_xla(rng):
     np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
 
 
+def test_nn_l2k2_exact(rng):
+    """The MXU L2 matcher must agree exactly with the numpy L2 oracle."""
+    x = rng.integers(0, 255, size=(300, 128)).astype("uint8")
+    y = rng.integers(0, 255, size=(200, 128)).astype("uint8")
+    nni, nnd = match.nn_l2k2(x, y)
+    d = ((x.astype(np.int64)[None] - y.astype(np.int64)[:, None]) ** 2).sum(-1)
+    gi = np.argsort(d, 1)[:, :2]
+    gd = np.sort(d, 1)[:, :2]
+    assert np.array_equal(nni.astype(np.int64), gi)
+    assert np.array_equal(nnd.astype(np.int64), gd)
+
+
 def test_ann_within_budget(rng):
     x = rng.standard_normal((1000, 132)).astype("float32")
     y = rng.standard_normal((1000, 132)).astype("float32")
