@@ -239,8 +239,11 @@ def bundle_adjust(
     weights : optional ``(O,)`` weights (0 masks an observation).
     fixed_cameras : camera indices held fixed (gauge).
     """
-    cams = jnp.asarray(cams, dtype=jnp.float64)
-    pts = jnp.asarray(pts, dtype=jnp.float64)
+    # use f64 when x64 is enabled (CPU test/precision runs), f32 otherwise
+    # (TPU: f64 linalg is emulated-or-broken there; f32 converges fine)
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    cams = jnp.asarray(cams, dtype=wide)
+    pts = jnp.asarray(pts, dtype=wide)
     cam_idx = jnp.asarray(cam_idx, dtype=jnp.int32)
     pt_idx = jnp.asarray(pt_idx, dtype=jnp.int32)
     uv = jnp.asarray(uv, dtype=cams.dtype)
