@@ -25,4 +25,23 @@ Layout
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache: this image compiles TPU programs through
+# a remote tunnel (30s+ first-compile latency), and the SIFT pyramid
+# alone has ~100 unique shapes.  Caching to disk makes every rerun of
+# the pipeline/bench start warm.  Opt out with SPECTAVI_TPU_NO_CACHE=1.
+if not _os.environ.get("SPECTAVI_TPU_NO_CACHE"):
+    try:
+        _cache_dir = _os.environ.get(
+            "SPECTAVI_TPU_CACHE_DIR", _os.path.expanduser("~/.cache/spectavi_tpu_xla")
+        )
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
 from spectavi_tpu import mvg, features, match, pipeline, sfm  # noqa: F401

@@ -106,8 +106,34 @@ def _downsample2(im):
     return im[::2, ::2]
 
 
+_upsample2_jit = jax.jit(_upsample2)
+_downsample2_jit = jax.jit(_downsample2)
+
+
 def num_octaves(height, width, o_min=-1):
     return max(int(np.floor(np.log2(min(width, height)))) - o_min - 3, 1)
+
+
+@partial(jax.jit, static_argnames=("sigma",))
+def _first_level(base, sigma):
+    return _blur(base, sigma)
+
+
+@jax.jit
+def _octave_levels(first):
+    """All levels of one octave from its first level, as ONE jitted
+    graph (the per-level incremental sigmas are static constants), so a
+    whole octave costs a single compilation per image shape instead of
+    ~14 eager conv compiles — important on this machine's high-latency
+    remote-compile tunnel."""
+    levels = [first]
+    for s in range(S_MIN + 1, S_MAX + 1):
+        sd = SIGMA_0 * np.sqrt(SIGMA_K ** (2 * s) - SIGMA_K ** (2 * s - 2))
+        levels.append(_blur(levels[-1], sd))
+    gss = jnp.stack(levels)
+    dog = gss[1:] - gss[:-1]
+    mod, ang = _gradients(gss)
+    return gss, dog, mod, ang
 
 
 def build_scale_space(im, o_min=-1, n_octaves=None):
@@ -139,11 +165,8 @@ def build_scale_space(im, o_min=-1, n_octaves=None):
             # decimate level s_min + S of the previous octave (its sigma
             # is exactly 2x the next octave's first level)
             first = _downsample2(octaves[-1][S_MIN + S - S_MIN])
-        levels = [first]
-        for s in range(S_MIN + 1, S_MAX + 1):
-            sd = SIGMA_0 * np.sqrt(SIGMA_K ** (2 * s) - SIGMA_K ** (2 * s - 2))
-            levels.append(_blur(levels[-1], sd))
-        octaves.append(jnp.stack(levels))
+        gss, _, _, _ = _octave_levels(first)
+        octaves.append(gss)
         xpers.append(2.0**o)
     return octaves, xpers
 
@@ -454,7 +477,7 @@ def _bucket_pad(n, minimum=64):
     return max(minimum, 1 << max(n - 1, 0).bit_length())
 
 
-def _octave_keypoints(gss, xper, peak_thresh, edge_thresh, magnif, max_kp):
+def _octave_keypoints(dog, mod, ang, xper, peak_thresh, edge_thresh, magnif, max_kp):
     """Run detection, orientation, and description for one octave.
 
     Returns numpy ``(n, 132)`` rows in vlfeat layout/order for this
@@ -463,10 +486,8 @@ def _octave_keypoints(gss, xper, peak_thresh, edge_thresh, magnif, max_kp):
     larger) static detection budget doesn't propagate into the
     orientation/descriptor gathers.
     """
-    dog = gss[1:] - gss[:-1]  # (S+2, H, W)
-    H, W = gss.shape[1:]
+    H, W = dog.shape[1:]
     det = detect_refine(dog, peak_thresh, edge_thresh, max_kp)
-    mod, ang = _gradients(gss)
 
     # --- compact survivors of detection ---
     valid_np = np.asarray(det["valid"])
@@ -566,14 +587,35 @@ def sift_filter(
     im = np.asarray(im, dtype=np.float32)
     if im.ndim != 2:
         raise TypeError("Only 2d images are supported.")
-    imj = jnp.asarray(im)
-    octaves, xpers = build_scale_space(imj, o_min=o_min, n_octaves=n_octaves)
+    base = jnp.asarray(im)
+    H0, W0 = im.shape
+    if n_octaves is None:
+        n_octaves = num_octaves(H0, W0, o_min)
+    if o_min < 0:
+        for _ in range(-o_min):
+            base = _upsample2_jit(base)
+    elif o_min > 0:
+        for _ in range(o_min):
+            base = _downsample2_jit(base)
+
     out = []
-    for gss, xper in zip(octaves, xpers):
-        H, W = gss.shape[1:]
+    prev_gss = None
+    for oi in range(n_octaves):
+        o = o_min + oi
+        if oi == 0:
+            sa = SIGMA_0 * (SIGMA_K**S_MIN)
+            sb = SIGMA_N * (2.0**-o)
+            first = _first_level(base, float(np.sqrt(max(sa * sa - sb * sb, 0.0))))
+        else:
+            first = _downsample2_jit(prev_gss[S_MIN + S - S_MIN])
+        gss, dog, mod, ang = _octave_levels(first)
+        prev_gss = gss
+        H, W = dog.shape[1:]
         budget = int(min(max_kp_per_octave, max(512, (H * W) // 16)))
         out.append(
-            _octave_keypoints(gss, xper, peak_thresh, edge_thresh, magnif, budget)
+            _octave_keypoints(
+                dog, mod, ang, 2.0**o, peak_thresh, edge_thresh, magnif, budget
+            )
         )
     return np.concatenate(out, axis=0) if out else np.zeros((0, 132), np.float32)
 

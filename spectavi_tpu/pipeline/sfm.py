@@ -59,6 +59,7 @@ def run_sfm(
     ba_iters=15,
     key=None,
     quiet=False,
+    checkpoint=None,
 ):
     """Run incremental SfM over a list of images.
 
@@ -157,10 +158,25 @@ def run_sfm(
         )
         X0 = X0[:, :3] / np.where(np.abs(X0[:, 3:]) > 1e-12, X0[:, 3:], 1e-12)
 
+    if checkpoint is not None:
+        from spectavi_tpu.sfm.checkpoint import load_sfm_state
+
+        state = load_sfm_state(checkpoint)
+        if state is not None:
+            c_ck, p_ck, t_ck, _ = state
+            if t_ck.shape == tracks.shape and np.array_equal(t_ck, tracks):
+                if not quiet:
+                    print(f"  resuming BA from checkpoint {checkpoint}")
+                cams0, X0 = c_ck, p_ck
+
     with Timer("sfm-ba", quiet):
         cams_ba, pts_ba, hist = bundle_adjust(
             cams0, X0, ci, pi, uv, fixed_cameras=(0,), max_iters=ba_iters
         )
+    if checkpoint is not None:
+        from spectavi_tpu.sfm.checkpoint import save_sfm_state
+
+        save_sfm_state(checkpoint, cams_ba, pts_ba, tracks)
     if not quiet:
         print(f"  tracks: {T}, BA cost {hist[0]:.3e} -> {hist[-1]:.3e}")
 

@@ -152,3 +152,18 @@ def test_normalize_to_ubyte(rng):
     assert xn.shape == (100, 144)
     assert xn.min() >= -128 and xn.max() <= 127
     assert np.all(xn[:, 130:] == 0)
+
+
+def test_nn_bruteforce_use_int(rng):
+    """Integer path parity: inputs scaled x100, int32 accumulation."""
+    x = rng.standard_normal((150, 64)).astype("float32")
+    y = rng.standard_normal((120, 64)).astype("float32")
+    nni, nnd = match.nn_bruteforce(x, y, k=2, p=1.0, use_int=True)
+    xi = np.round(100 * x).astype("int64")
+    yi = np.round(100 * y).astype("int64")
+    d = np.abs(xi[None] - yi[:, None]).sum(-1)
+    gi = np.argsort(d, 1)[:, :2]
+    gd = np.sort(d, 1)[:, :2]
+    assert np.array_equal(nni.astype(np.int64), gi)
+    assert np.array_equal(nnd.astype(np.int64), gd)
+    assert nnd.dtype == np.int32

@@ -163,3 +163,21 @@ def test_umeyama_recovers_similarity(rng):
     s, t = 2.7, rng.standard_normal(3)
     dst = (s * (R @ src.T)).T + t
     assert ate_rmse(src, dst) < 1e-10
+
+
+def test_sfm_checkpoint_roundtrip(tmp_path, rng):
+    from spectavi_tpu.sfm import load_sfm_state, save_sfm_state
+
+    cams = rng.standard_normal((4, 6))
+    pts = rng.standard_normal((50, 3))
+    tracks = rng.integers(-1, 30, size=(50, 4)).astype(np.int32)
+    p = str(tmp_path / "state.npz")
+    save_sfm_state(p, cams, pts, tracks, extra={"lam": np.asarray(1e-3)})
+    out = load_sfm_state(p)
+    assert out is not None
+    c2, p2, t2, extra = out
+    np.testing.assert_array_equal(c2, cams)
+    np.testing.assert_array_equal(p2, pts)
+    np.testing.assert_array_equal(t2, tracks)
+    assert float(extra["lam"]) == 1e-3
+    assert load_sfm_state(str(tmp_path / "missing.npz")) is None
