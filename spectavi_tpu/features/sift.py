@@ -194,20 +194,20 @@ def _gradients(gss):
 def _extrema_mask(dog, peak_thresh):
     """26-neighbour extrema of the DoG volume ``(S+2, H, W)`` at scales
     1..S (i.e. detection levels), interior pixels only."""
-    neigh = []
+    # accumulate the 26 neighbour comparisons instead of stacking 26
+    # rolled copies (the stack would be ~26x the DoG volume in HBM)
+    v = dog
+    thr = 0.8 * peak_thresh
+    is_max = v > thr
+    is_min = v < -thr
     for ds in (-1, 0, 1):
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if ds == 0 and dy == 0 and dx == 0:
                     continue
-                neigh.append(
-                    jnp.roll(jnp.roll(jnp.roll(dog, -ds, 0), -dy, 1), -dx, 2)
-                )
-    stack = jnp.stack(neigh)  # (26, S+2, H, W)
-    v = dog
-    thr = 0.8 * peak_thresh
-    is_max = (v > thr) & jnp.all(v > stack, axis=0)
-    is_min = (v < -thr) & jnp.all(v < stack, axis=0)
+                n = jnp.roll(jnp.roll(jnp.roll(dog, -ds, 0), -dy, 1), -dx, 2)
+                is_max = is_max & (v > n)
+                is_min = is_min & (v < n)
     mask = is_max | is_min
     # restrict to interior scales and pixels
     Sn, H, W = dog.shape

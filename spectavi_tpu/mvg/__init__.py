@@ -33,6 +33,7 @@ from spectavi_tpu.mvg.rectify import image_pair_rectification, rectify_pair  # n
 from spectavi_tpu.mvg.sevenpoint import seven_point, solve_cubic  # noqa: F401
 from spectavi_tpu.mvg.triangulate import (  # noqa: F401
     reprojection_error,
+    triangulate_fast_full,
     triangulate,
     triangulate_full,
 )

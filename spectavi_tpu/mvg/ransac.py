@@ -31,7 +31,7 @@ import numpy as np
 
 from spectavi_tpu.mvg.core import cameras_from_svd, hnormalize, identity_camera
 from spectavi_tpu.mvg.sevenpoint import seven_point
-from spectavi_tpu.mvg.triangulate import triangulate_full
+from spectavi_tpu.mvg.triangulate import triangulate_fast_full
 
 DEFAULT_OPTIONS = {
     "required_percent_inliers": 0.9,
@@ -74,7 +74,8 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed):
         gate = (ratio <= svr_allowed) & validt
         P1 = cameras_from_svd(U, Vt)  # (3,4,3,4)
         # score every (root, camera) against every point: (3,4,N)
-        _, reproj, infront = triangulate_full(
+        # (closed-form scoring triangulation; SVD only for the winner)
+        _, reproj, infront = triangulate_fast_full(
             P0,
             P1[:, :, None, :, :],
             x0[None, None, :, :],
@@ -85,14 +86,25 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed):
         counts = jnp.where(gate[:, None], counts, -1)
         return counts
 
-    counts = jax.lax.map(score_trial, (F, valid))  # (T,3,4)
+    # vectorize trials in chunks: vmap gives the hardware wide batches,
+    # the outer map bounds peak memory (each chunk scores a
+    # (chunk, 3, 4, N) tensor)
+    chunk = min(64, trials)
+    pad = (-trials) % chunk
+    Fp = jnp.pad(F, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    vp = jnp.pad(valid, ((0, pad), (0, 0)))
+    Fc = Fp.reshape(-1, chunk, 3, 3, 3)
+    vc = vp.reshape(-1, chunk, 3)
+    counts = jax.lax.map(jax.vmap(score_trial), (Fc, vc))
+    counts = counts.reshape(-1, 3, 4)[:trials]  # (T,3,4)
     flat = counts.reshape(-1)
     best = jnp.argmax(flat)
     it, ir, ic = jnp.unravel_index(best, counts.shape)
     Fb = F[it, ir]
     Ub, Sb, Vtb = jnp.linalg.svd(Fb)
     P1b = cameras_from_svd(Ub, Vtb)[ic]
-    _, reproj, infront = triangulate_full(P0, P1b, x0, x1)
+    # same scoring method for the winner's mask so mask.sum() == count
+    _, reproj, infront = triangulate_fast_full(P0, P1b, x0, x1)
     inlier_mask = (reproj <= reproj_allowed) & infront
     return {
         "essential": Fb,
@@ -107,7 +119,36 @@ ransac_essential_batch = partial(jax.jit, static_argnames=("trials",))(
 )
 
 
-def ransac_fitter(x0, x1, options=None, key=None, batch_trials=64, max_batches=100, confidence=0.999):
+@jax.jit
+def _lo_refine_step(x0, x1, weights, reproj_allowed):
+    """One local-optimization step (LO-RANSAC): weighted 8-point fit on
+    the current inliers, project to an essential matrix, re-select the
+    best camera by cheirality, and re-score all matches.
+
+    ``weights (N,)`` — 1.0 for current inliers, 0.0 otherwise.
+    Returns ``(E, camera, count, mask)``.
+    """
+    u, v = x0[:, 0], x0[:, 1]
+    up, vp = x1[:, 0], x1[:, 1]
+    one = jnp.ones_like(u)
+    A = jnp.stack([up * u, up * v, up, vp * u, vp * v, vp, u, v, one], axis=-1)
+    A = A * weights[:, None]
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    F = Vt[8].reshape(3, 3)
+    U, S, Vt3 = jnp.linalg.svd(F)
+    E = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt3
+    P1 = cameras_from_svd(U, Vt3)  # (4, 3, 4)
+    P0 = identity_camera(x0.dtype)
+    _, reproj, infront = triangulate_fast_full(
+        P0, P1[:, None, :, :], x0[None], x1[None]
+    )
+    inlier = (reproj <= reproj_allowed) & infront  # (4, N)
+    counts = inlier.sum(-1)
+    ic = jnp.argmax(counts)
+    return E, P1[ic], counts[ic], inlier[ic]
+
+
+def ransac_fitter(x0, x1, options=None, key=None, batch_trials=512, max_batches=2000, confidence=0.999):
     """Fit a two-view essential matrix to tentative correspondences.
 
     API parity with ``spectavi.mvg.ransac_fitter`` (reference
@@ -157,7 +198,7 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=64, max_batches=1
             opts["singular_value_ratio_allowed"],
         )
         count = int(out["count"])
-        if count > best_count:
+        if best is None or count > best_count:
             best_count = count
             best = out
         tries += trials
@@ -173,15 +214,33 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=64, max_batches=1
             if tries >= needed:
                 break
 
-    success = best_count / N >= required
-    if not success and not opts["find_best_even_in_failure"]:
-        # parity: reference leaves best-model empty unless allowed
-        pass
+    essential = np.asarray(best["essential"])
+    camera = np.asarray(best["camera"])
     mask = np.asarray(best["inlier_mask"])
+
+    # local optimization (LO-RANSAC, beyond the reference): iterated
+    # all-inlier 8-point refits typically grow the consensus set
+    # substantially on real data; disable with options
+    # {"local_optimization": False} for strict minimal-sample parity.
+    if opts.get("local_optimization", True) and mask.sum() >= 8:
+        for _ in range(4):
+            E_r, P_r, count_r, mask_r = _lo_refine_step(
+                x0j, x1j, jnp.asarray(mask, x0j.dtype),
+                opts["reprojection_error_allowed"],
+            )
+            count_r = int(count_r)
+            if count_r <= best_count:
+                break
+            best_count = count_r
+            essential = np.asarray(E_r)
+            camera = np.asarray(P_r)
+            mask = np.asarray(mask_r)
+
+    success = best_count / N >= required
     return {
         "success": bool(success),
-        "essential": np.asarray(best["essential"]),
-        "camera": np.asarray(best["camera"]),
+        "essential": essential,
+        "camera": camera,
         "inlier_percent": best_count / N,
         "inlier_idx": np.where(mask)[0].astype(np.int32),
     }

@@ -43,8 +43,11 @@ def step1_sift_detect(image_paths, quiet=False):
 
 def step2_match_keypoints(siftkps, matching_method="cascading-hash", min_ratio=1.75, quiet=False):
     x, y = siftkps
-    _x = normalize_to_ubyte_and_multiple_16_dim(x[:, 4:])
-    _y = normalize_to_ubyte_and_multiple_16_dim(y[:, 4:])
+    # NOTE: like the reference (ex01 step2, example/ex01:92-93), the FULL
+    # 132-col rows are normalized and matched — the de-meaned x,y,sigma,
+    # angle columns act as a weak spatial prior alongside the descriptor
+    _x = normalize_to_ubyte_and_multiple_16_dim(x)
+    _y = normalize_to_ubyte_and_multiple_16_dim(y)
     with Timer("step2-computation", quiet):
         if matching_method == "bruteforce":
             nn_idx, nn_dist = nn_bruteforcel1k2(
