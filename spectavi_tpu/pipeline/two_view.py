@@ -158,8 +158,14 @@ def run_two_view(
     cache=False,
     key=None,
     quiet=False,
+    ransac_options=None,
 ):
-    """Full ex01-equivalent pipeline; returns a result dict."""
+    """Full ex01-equivalent pipeline; returns a result dict.
+
+    ``ransac_options`` overrides individual RANSAC options on top of the
+    quality preset (e.g. a looser ``reprojection_error_allowed`` for
+    lenses with distortion the pinhole model cannot explain).
+    """
     if outdir is not None:
         os.makedirs(outdir, exist_ok=True)
     K = np.loadtxt(K_path)
@@ -179,7 +185,8 @@ def run_two_view(
             np.savez_compressed(cache_file, xd=step2_out[0], yd=step2_out[1])
 
     step3_out = step3_estimate_essential(
-        step2_out[0], step2_out[1], K, ransac_quality, key=key, quiet=quiet
+        step2_out[0], step2_out[1], K, ransac_quality,
+        options=ransac_options, key=key, quiet=quiet
     )
     ransac = step3_out[0]
     if not quiet:
