@@ -43,7 +43,7 @@ DEFAULT_OPTIONS = {
 }
 
 
-def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed):
+def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed, point_mask=None):
     """Run one batch of RANSAC trials; return the batch winner.
 
     Parameters
@@ -51,6 +51,10 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed):
     key : PRNG key.
     x0, x1 : ``(N, 2)`` euclidean correspondences (pre-hnormalized).
     trials : static int — number of 7-point samples in this batch.
+    point_mask : optional ``(N,)`` bool — rows that are real
+        correspondences (the wrapper pads N to power-of-two buckets so
+        varying match counts reuse one compiled program; padded rows are
+        never sampled and never counted).
 
     Returns
     -------
@@ -59,9 +63,13 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed):
     """
     N = x0.shape[0]
     dtype = x0.dtype
+    if point_mask is None:
+        point_mask = jnp.ones(N, dtype=bool)
+    p = point_mask.astype(dtype)
+    p = p / p.sum()
     keys = jax.random.split(key, trials)
     sample = jax.vmap(
-        lambda k: jax.random.choice(k, N, shape=(7,), replace=False)
+        lambda k: jax.random.choice(k, N, shape=(7,), replace=False, p=p)
     )(keys)
     F, valid = seven_point(x0[sample], x1[sample])  # (T,3,3,3), (T,3)
 
@@ -81,7 +89,7 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed):
             x0[None, None, :, :],
             x1[None, None, :, :],
         )
-        inlier = (reproj <= reproj_allowed) & infront
+        inlier = (reproj <= reproj_allowed) & infront & point_mask
         counts = inlier.sum(-1)  # (3,4)
         counts = jnp.where(gate[:, None], counts, -1)
         return counts
@@ -105,7 +113,7 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed):
     P1b = cameras_from_svd(Ub, Vtb)[ic]
     # same scoring method for the winner's mask so mask.sum() == count
     _, reproj, infront = triangulate_fast_full(P0, P1b, x0, x1)
-    inlier_mask = (reproj <= reproj_allowed) & infront
+    inlier_mask = (reproj <= reproj_allowed) & infront & point_mask
     return {
         "essential": Fb,
         "camera": P1b,
@@ -120,7 +128,7 @@ ransac_essential_batch = partial(jax.jit, static_argnames=("trials",))(
 
 
 @jax.jit
-def _lo_refine_step(x0, x1, weights, reproj_allowed):
+def _lo_refine_step(x0, x1, weights, reproj_allowed, point_mask):
     """One local-optimization step (LO-RANSAC): weighted 8-point fit on
     the current inliers, project to an essential matrix, re-select the
     best camera by cheirality, and re-score all matches.
@@ -142,7 +150,7 @@ def _lo_refine_step(x0, x1, weights, reproj_allowed):
     _, reproj, infront = triangulate_fast_full(
         P0, P1[:, None, :, :], x0[None], x1[None]
     )
-    inlier = (reproj <= reproj_allowed) & infront  # (4, N)
+    inlier = (reproj <= reproj_allowed) & infront & point_mask  # (4, N)
     counts = inlier.sum(-1)
     ic = jnp.argmax(counts)
     return E, P1[ic], counts[ic], inlier[ic]
@@ -179,8 +187,14 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=512, max_batches=
     N = x0.shape[0]
     required = opts["required_percent_inliers"]
     max_tries = int(opts["maximum_tries"])
-    x0j = jnp.asarray(x0)
-    x1j = jnp.asarray(x1)
+    # pad the match count to a power-of-two bucket so different pairs
+    # (multi-pair SfM) reuse one compiled program per bucket
+    Np = max(16, 1 << (N - 1).bit_length())
+    pmask = np.zeros(Np, dtype=bool)
+    pmask[:N] = True
+    x0j = jnp.asarray(np.pad(x0, ((0, Np - N), (0, 0))))
+    x1j = jnp.asarray(np.pad(x1, ((0, Np - N), (0, 0))))
+    pmask_j = jnp.asarray(pmask)
 
     best = None
     best_count = -1
@@ -196,6 +210,7 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=512, max_batches=
             trials,
             opts["reprojection_error_allowed"],
             opts["singular_value_ratio_allowed"],
+            pmask_j,
         )
         count = int(out["count"])
         if best is None or count > best_count:
@@ -226,7 +241,7 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=512, max_batches=
         for _ in range(4):
             E_r, P_r, count_r, mask_r = _lo_refine_step(
                 x0j, x1j, jnp.asarray(mask, x0j.dtype),
-                opts["reprojection_error_allowed"],
+                opts["reprojection_error_allowed"], pmask_j,
             )
             count_r = int(count_r)
             if count_r <= best_count:
@@ -242,5 +257,5 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=512, max_batches=
         "essential": essential,
         "camera": camera,
         "inlier_percent": best_count / N,
-        "inlier_idx": np.where(mask)[0].astype(np.int32),
+        "inlier_idx": np.where(mask[:N])[0].astype(np.int32),
     }

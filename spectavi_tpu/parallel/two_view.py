@@ -11,8 +11,6 @@ merge, ``src/Hnswlib.h:68-93``).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P

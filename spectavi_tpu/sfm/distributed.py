@@ -16,10 +16,8 @@ is consistent without a broadcast.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
-import jax.numpy as jnp
+
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
