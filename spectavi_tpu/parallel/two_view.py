@@ -14,6 +14,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
+# NOTE: jax.shard_map (the non-experimental API) stalls compilation of
+# these programs on this machine's TPU-present environment; the
+# deprecated experimental entry point compiles fine.
 from jax.experimental.shard_map import shard_map
 
 from spectavi_tpu.match.bruteforce import l1_topk2_xla

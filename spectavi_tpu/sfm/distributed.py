@@ -19,6 +19,9 @@ from __future__ import annotations
 import jax
 
 from jax.sharding import PartitionSpec as P
+# NOTE: jax.shard_map (the non-experimental API) stalls compilation of
+# these programs on this machine's TPU-present environment; the
+# deprecated experimental entry point compiles fine.
 from jax.experimental.shard_map import shard_map
 
 from spectavi_tpu.sfm.bundle_adjust import _ba_quantities, _solve_schur
