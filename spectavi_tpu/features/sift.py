@@ -579,6 +579,54 @@ def _octave_keypoints(dog, mod, ang, xper, peak_thresh, edge_thresh, magnif, max
     return rows[:n_ang]
 
 
+@partial(jax.jit, static_argnames=("budgets", "o_min"))
+def _sift_detect_all(im, peak_thresh, edge_thresh, budgets, o_min):
+    """Pass 1 for a whole image: upsampling, every octave's pyramid,
+    detection, and orientation in ONE jitted graph.
+
+    Returns ``(meta (6, sum(budgets)*4), grads)`` where ``grads`` is the
+    per-octave list of (mod, ang) device arrays pass 2 consumes.  A
+    single device call + a single host pull replaces ~20 roundtrips per
+    octave — decisive on this machine's high-latency dispatch tunnel.
+    """
+    base = im
+    if o_min < 0:
+        for _ in range(-o_min):
+            base = _upsample2(base)
+    elif o_min > 0:
+        for _ in range(o_min):
+            base = _downsample2(base)
+
+    metas = []
+    grads = []
+    prev_gss = None
+    for oi, budget in enumerate(budgets):
+        o = o_min + oi
+        if oi == 0:
+            sa = SIGMA_0 * (SIGMA_K**S_MIN)
+            sb = SIGMA_N * (2.0**-o)
+            first = _blur(base, float(np.sqrt(max(sa * sa - sb * sb, 0.0))))
+        else:
+            first = _downsample2(prev_gss[S_MIN + S - S_MIN])
+        gss, dog, mod, ang = _octave_levels(first)
+        prev_gss = gss
+        metas.append(
+            _detect_orient_stage(dog, mod, ang, peak_thresh, edge_thresh, budget)
+        )
+        grads.append((mod, ang))
+    return jnp.concatenate(metas, axis=1), grads
+
+
+@partial(jax.jit, static_argnames=("magnif",))
+def _describe_all(grads, meta_sels, kvals, magnif):
+    """Pass 2: descriptors for every octave's compacted keypoints in
+    one jitted call; returns one concatenated ``(sum, 128)`` array."""
+    descs = []
+    for (mod, ang), ms, kv in zip(grads, meta_sels, kvals):
+        descs.append(_describe_stage(mod, ang, ms, kv, magnif))
+    return jnp.concatenate(descs, axis=0)
+
+
 def sift_filter(
     im,
     peak_thresh=0.0,
@@ -597,36 +645,69 @@ def sift_filter(
     im = np.asarray(im, dtype=np.float32)
     if im.ndim != 2:
         raise TypeError("Only 2d images are supported.")
-    base = jnp.asarray(im)
     H0, W0 = im.shape
     if n_octaves is None:
         n_octaves = num_octaves(H0, W0, o_min)
-    if o_min < 0:
-        for _ in range(-o_min):
-            base = _upsample2_jit(base)
-    elif o_min > 0:
-        for _ in range(o_min):
-            base = _downsample2_jit(base)
+
+    # static per-octave detection budgets from octave shapes
+    budgets = []
+    H, W = H0 << max(-o_min, 0), W0 << max(-o_min, 0)
+    if o_min > 0:
+        H, W = H0 >> o_min, W0 >> o_min
+    for oi in range(n_octaves):
+        budgets.append(int(min(max_kp_per_octave, max(512, (H * W) // 16))))
+        H, W = H // 2, W // 2
+    budgets = tuple(budgets)
+
+    meta_all, grads = _sift_detect_all(
+        jnp.asarray(im), peak_thresh, edge_thresh, budgets, o_min
+    )
+    meta_all = np.asarray(meta_all)  # single pull
+
+    # host: split per octave, compact survivors to pow2 buckets
+    meta_sels, kvals, octave_rows = [], [], []
+    off = 0
+    for oi, budget in enumerate(budgets):
+        span = budget * MAX_ANGLES
+        meta = meta_all[:, off : off + span]
+        off += span
+        sel2 = np.where(meta[1] > 0)[0]
+        n_ang = len(sel2)
+        if n_ang == 0:
+            continue
+        bucket2 = _bucket_pad(n_ang)
+        sel2_pad = np.concatenate(
+            [sel2, np.zeros(bucket2 - n_ang, dtype=sel2.dtype)]
+        )
+        meta_sel = meta[:, sel2_pad]
+        meta_sels.append(jnp.asarray(meta_sel))
+        kvals.append(jnp.asarray(np.arange(bucket2) < n_ang))
+        octave_rows.append((oi, meta_sel, n_ang, bucket2))
+    if not meta_sels:
+        return np.zeros((0, 132), np.float32)
+
+    grads_used = [grads[oi] for (oi, _, _, _) in octave_rows]
+    desc_all = np.asarray(
+        _describe_all(grads_used, meta_sels, kvals, float(magnif))
+    )  # single pull
 
     out = []
-    prev_gss = None
-    for oi in range(n_octaves):
-        o = o_min + oi
-        if oi == 0:
-            sa = SIGMA_0 * (SIGMA_K**S_MIN)
-            sb = SIGMA_N * (2.0**-o)
-            first = _first_level(base, float(np.sqrt(max(sa * sa - sb * sb, 0.0))))
-        else:
-            first = _downsample2_jit(prev_gss[S_MIN + S - S_MIN])
-        gss, dog, mod, ang = _octave_levels(first)
-        prev_gss = gss
-        H, W = dog.shape[1:]
-        budget = int(min(max_kp_per_octave, max(512, (H * W) // 16)))
-        out.append(
-            _octave_keypoints(
-                dog, mod, ang, 2.0**o, peak_thresh, edge_thresh, magnif, budget
-            )
-        )
+    doff = 0
+    for (oi, meta_sel, n_ang, bucket2) in octave_rows:
+        xper = 2.0 ** (o_min + oi)
+        desc = desc_all[doff : doff + bucket2]
+        doff += bucket2
+        rows = np.concatenate(
+            [
+                (meta_sel[2] * xper)[:, None],
+                (meta_sel[3] * xper)[:, None],
+                (meta_sel[4] * xper)[:, None],
+                meta_sel[0][:, None],
+                np.minimum(np.floor(512.0 * desc), 255.0),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        out.append(rows[:n_ang])
     return np.concatenate(out, axis=0) if out else np.zeros((0, 132), np.float32)
 
 

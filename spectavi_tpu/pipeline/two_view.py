@@ -91,7 +91,7 @@ def step3_estimate_essential(xd, yd, K, ransac_quality="ultra", options=None, ke
     return ransac, x0, x1, xd, yd
 
 
-def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False):
+def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False, ba=False):
     ransac, x0, x1, xd, yd = step3_out
     idx = ransac["inlier_idx"]
     P1 = ransac["camera"]
@@ -99,6 +99,28 @@ def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False):
     with Timer("step4-computation", quiet):
         RX = mvg.dlt_triangulate(P0, P1, x0[idx], x1[idx])
     RX = RX / RX[..., -1:].reshape(-1, 1)
+    if ba and len(idx) >= 10:
+        # two-view bundle polish (beyond the reference): refine P1 + the
+        # triangulated points against the inlier observations
+        from spectavi_tpu.sfm import bundle_adjust, rotation_to_rvec, rodrigues
+        import jax.numpy as jnp
+
+        cams0 = np.zeros((2, 6))
+        cams0[1, :3] = rotation_to_rvec(P1[:, :3])
+        cams0[1, 3:] = P1[:, 3]
+        M = len(idx)
+        ci = np.concatenate([np.zeros(M, np.int32), np.ones(M, np.int32)])
+        pi = np.concatenate([np.arange(M, dtype=np.int32)] * 2)
+        uv = np.concatenate([mvg.hnormalize(x0[idx]), mvg.hnormalize(x1[idx])])
+        with Timer("step4-ba", quiet):
+            cams_ba, pts_ba, hist = bundle_adjust(
+                cams0, RX[:, :3], ci, pi, uv, fixed_cameras=(0,), max_iters=10
+            )
+        if not quiet:
+            print(f"  two-view BA: cost {hist[0]:.3e} -> {hist[-1]:.3e}")
+        R1 = np.asarray(rodrigues(jnp.asarray(cams_ba[1, :3])))
+        ransac = dict(ransac, camera=np.hstack([R1, cams_ba[1, 3:, None]]))
+        RX = np.hstack([pts_ba, np.ones((M, 1))])
     rgb = None
     if image_paths is not None:
         im0 = imread(image_paths[0])
@@ -159,6 +181,7 @@ def run_two_view(
     key=None,
     quiet=False,
     ransac_options=None,
+    ba=False,
 ):
     """Full ex01-equivalent pipeline; returns a result dict.
 
@@ -198,7 +221,7 @@ def run_two_view(
             " Singular Values ratio score: ",
             np.abs(s[0] - s[1]) / np.abs(s[0] + s[1]),
         )
-    RX, _ = step4_triangulate(step3_out, image_paths, outdir, quiet)
+    RX, ransac = step4_triangulate(step3_out, image_paths, outdir, quiet, ba=ba)
     rect = step5_rectify(ransac, K, image_paths, outdir, rsf, quiet)
     return {
         "matches": step2_out,

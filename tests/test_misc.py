@@ -120,3 +120,47 @@ def test_two_view_match_cache(tmp_path, rng):
     assert os.path.exists(os.path.join(outdir, "cache.npz"))
     data = np.load(os.path.join(outdir, "cache.npz"))
     assert "xd" in data and "yd" in data
+
+
+def test_step4_ba_polish(rng):
+    """Two-view BA polish reduces reprojection error of the cloud."""
+    from spectavi_tpu.pipeline.two_view import step4_triangulate
+
+    # simulated calibrated two-view scene with small observation noise
+    a = 0.2
+    R = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]])
+    C = np.array([1.0, 0.1, -0.3])
+    P1 = np.hstack([R, (-R @ C)[:, None]])
+    P0 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    X = rng.standard_normal((100, 3)) * np.array([1, 1, 0.4]) + np.array([0, 0, 6.0])
+    Xh = np.hstack([X, np.ones((100, 1))])
+    x0 = Xh @ P0.T
+    x1 = Xh @ P1.T
+    x0[:, :2] += rng.normal(0, 2e-3, (100, 2)) * x0[:, 2:3]
+    x1[:, :2] += rng.normal(0, 2e-3, (100, 2)) * x1[:, 2:3]
+    ransac = {
+        "inlier_idx": np.arange(100, dtype=np.int32),
+        "camera": P1,
+        "success": True,
+        "inlier_percent": 1.0,
+        "essential": np.eye(3),
+    }
+    step3_out = (ransac, x0, x1, None, None)
+    RX_plain, _ = step4_triangulate(step3_out, quiet=True)
+    RX_ba, ransac_ba = step4_triangulate(step3_out, quiet=True, ba=True)
+
+    def total_reproj(P1x, RXx):
+        err = mvg.dlt_reprojection_error(
+            np.hstack([np.eye(3), np.zeros((3, 1))]), P1x, x0, x1
+        )
+        # measure against the returned cloud directly instead
+        rp0 = RXx @ np.hstack([np.eye(3), np.zeros((3, 1))]).T
+        rp1 = RXx @ P1x.T
+        e0 = np.linalg.norm(rp0[:, :2] / rp0[:, 2:3] - x0[:, :2] / x0[:, 2:3], axis=1)
+        e1 = np.linalg.norm(rp1[:, :2] / rp1[:, 2:3] - x1[:, :2] / x1[:, 2:3], axis=1)
+        return (e0 + e1).sum()
+
+    plain = total_reproj(P1, RX_plain)
+    polished = total_reproj(ransac_ba["camera"], RX_ba)
+    assert polished <= plain * 1.0001
+    assert np.isfinite(RX_ba).all()
