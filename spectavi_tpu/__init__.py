@@ -29,15 +29,16 @@ import os as _os
 
 import jax as _jax
 
-# Persistent compilation cache: this image compiles TPU programs through
-# a remote tunnel (30s+ first-compile latency), and the SIFT pyramid
-# alone has ~100 unique shapes.  Caching to disk makes every rerun of
-# the pipeline/bench start warm.  Opt out with SPECTAVI_TPU_NO_CACHE=1.
-if not _os.environ.get("SPECTAVI_TPU_NO_CACHE"):
+# Optional persistent compilation cache (opt-IN via
+# SPECTAVI_TPU_CACHE_DIR).  NOT enabled by default on this machine: the
+# remote-compile service writes XLA:CPU AOT entries with machine
+# features that do not match the local host, and loading them poisons
+# CPU-mesh runs with slow feature-mismatch fallbacks (observed as
+# multi-minute stalls in device_put) — while giving no measurable
+# cross-process benefit for the tunneled TPU backend.
+if _os.environ.get("SPECTAVI_TPU_CACHE_DIR"):
     try:
-        _cache_dir = _os.environ.get(
-            "SPECTAVI_TPU_CACHE_DIR", _os.path.expanduser("~/.cache/spectavi_tpu_xla")
-        )
+        _cache_dir = _os.environ["SPECTAVI_TPU_CACHE_DIR"]
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

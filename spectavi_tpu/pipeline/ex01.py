@@ -37,10 +37,18 @@ def main(argv=None):
     parser.add_argument("--rsf", default=1.0, type=float)
     parser.add_argument("--cache", action="store_true")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--reproj", default=None, type=float,
+                        help="override RANSAC reprojection threshold (normalized coords)")
+    parser.add_argument("--ba", action="store_true",
+                        help="two-view bundle-adjustment polish after triangulation")
     args = parser.parse_args(argv)
 
     import jax
 
+    ransac_options = None
+    if args.reproj is not None:
+        ransac_options = {"reprojection_error_allowed": args.reproj,
+                          "find_best_even_in_failure": True}
     run_two_view(
         args.images,
         args.K,
@@ -51,6 +59,8 @@ def main(argv=None):
         rsf=args.rsf,
         cache=args.cache,
         key=jax.random.PRNGKey(args.seed),
+        ransac_options=ransac_options,
+        ba=args.ba,
     )
 
 
