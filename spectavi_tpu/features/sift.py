@@ -106,17 +106,8 @@ def _downsample2(im):
     return im[::2, ::2]
 
 
-_upsample2_jit = jax.jit(_upsample2)
-_downsample2_jit = jax.jit(_downsample2)
-
-
 def num_octaves(height, width, o_min=-1):
     return max(int(np.floor(np.log2(min(width, height)))) - o_min - 3, 1)
-
-
-@partial(jax.jit, static_argnames=("sigma",))
-def _first_level(base, sigma):
-    return _blur(base, sigma)
 
 
 @jax.jit
@@ -541,45 +532,6 @@ def _describe_stage(mod, ang, meta_sel, kval, magnif):
     return jnp.concatenate(descs, axis=0)
 
 
-def _octave_keypoints(dog, mod, ang, xper, peak_thresh, edge_thresh, magnif, max_kp):
-    """Run detection, orientation, and description for one octave.
-
-    Returns numpy ``(n, 132)`` rows in vlfeat layout/order.  Exactly two
-    fused device calls + two host pulls per octave; the host compacts
-    the dynamic (keypoint, angle) count to a power-of-two bucket between
-    them (padding/masking discipline with bounded retraces).
-    """
-    meta = np.asarray(
-        _detect_orient_stage(dog, mod, ang, peak_thresh, edge_thresh, max_kp)
-    )
-    sel2 = np.where(meta[1] > 0)[0]
-    n_ang = len(sel2)
-    if n_ang == 0:
-        return np.zeros((0, 132), dtype=np.float32)
-    bucket2 = _bucket_pad(n_ang)
-    sel2_pad = np.concatenate([sel2, np.zeros(bucket2 - n_ang, dtype=sel2.dtype)])
-    meta_sel = meta[:, sel2_pad]
-    kval = np.arange(bucket2) < n_ang
-
-    desc = np.asarray(
-        _describe_stage(
-            mod, ang, jnp.asarray(meta_sel), jnp.asarray(kval), float(magnif)
-        )
-    )
-    rows = np.concatenate(
-        [
-            (meta_sel[2] * xper)[:, None],
-            (meta_sel[3] * xper)[:, None],
-            (meta_sel[4] * xper)[:, None],
-            meta_sel[0][:, None],
-            np.minimum(np.floor(512.0 * desc), 255.0),
-        ],
-        axis=1,
-    ).astype(np.float32)
-    return rows[:n_ang]
-
-
-@partial(jax.jit, static_argnames=("budgets", "o_min"))
 def _sift_detect_all(im, peak_thresh, edge_thresh, budgets, o_min):
     """Pass 1 for a whole image: upsampling, every octave's pyramid,
     detection, and orientation in ONE jitted graph.

@@ -107,18 +107,26 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed, poin
     counts = counts.reshape(-1, 3, 4)[:trials]  # (T,3,4)
     flat = counts.reshape(-1)
     best = jnp.argmax(flat)
-    it, ir, ic = jnp.unravel_index(best, counts.shape)
+    it, ir, _ = jnp.unravel_index(best, counts.shape)
     Fb = F[it, ir]
+    # The winner's camera must come from re-scoring all 4 candidates of
+    # THIS svd call: SVD sign conventions can differ between program
+    # points (observed on TPU), so reusing the camera *index* selected
+    # inside score_trial could pick the opposite-translation twin.
+    # Re-scoring also guarantees mask.sum() == count.
     Ub, Sb, Vtb = jnp.linalg.svd(Fb)
-    P1b = cameras_from_svd(Ub, Vtb)[ic]
-    # same scoring method for the winner's mask so mask.sum() == count
-    _, reproj, infront = triangulate_fast_full(P0, P1b, x0, x1)
-    inlier_mask = (reproj <= reproj_allowed) & infront & point_mask
+    P1s = cameras_from_svd(Ub, Vtb)  # (4, 3, 4)
+    _, reproj, infront = triangulate_fast_full(
+        P0, P1s[:, None, :, :], x0[None], x1[None]
+    )
+    inlier4 = (reproj <= reproj_allowed) & infront & point_mask  # (4, N)
+    counts4 = inlier4.sum(-1)
+    icb = jnp.argmax(counts4)
     return {
         "essential": Fb,
-        "camera": P1b,
-        "count": flat[best],
-        "inlier_mask": inlier_mask,
+        "camera": P1s[icb],
+        "count": counts4[icb],
+        "inlier_mask": inlier4[icb],
     }
 
 
