@@ -182,6 +182,7 @@ def run_two_view(
     quiet=False,
     ransac_options=None,
     ba=False,
+    plots=False,
 ):
     """Full ex01-equivalent pipeline; returns a result dict.
 
@@ -206,6 +207,18 @@ def run_two_view(
         step2_out = step2_match_keypoints(kps, matching_method, min_ratio, quiet)
         if cache and cache_file:
             np.savez_compressed(cache_file, xd=step2_out[0], yd=step2_out[1])
+        if plots and outdir is not None:
+            from spectavi_tpu.pipeline.viz import save_keypoint_plot, save_match_plot
+
+            g0 = imread(image_paths[0], dtype="float32", force_grayscale=True)
+            g1 = imread(image_paths[1], dtype="float32", force_grayscale=True)
+            save_keypoint_plot(
+                g0, g1, kps[0], kps[1], os.path.join(outdir, "step1-keypoints.png")
+            )
+            save_match_plot(
+                g0, g1, step2_out[0], step2_out[1],
+                os.path.join(outdir, "step2-matches.png"),
+            )
 
     step3_out = step3_estimate_essential(
         step2_out[0], step2_out[1], K, ransac_quality,
