@@ -44,9 +44,21 @@ def sharded_l1_topk2(mesh, x, y):
     ``x``: ``(X, D)`` int descriptors (X divisible by the blocks axis),
     ``y``: ``(Y, D)`` queries (replicated).  Output replicated.
     """
+    return _sharded_topk2(mesh, x, y, l1_topk2_xla)
 
+
+def sharded_l2_topk2(mesh, x, y):
+    """Exact top-2 squared-L2 matching (MXU fast path) with the
+    database sharded over ``blocks``; same contract as
+    :func:`sharded_l1_topk2`."""
+    from spectavi_tpu.ops.l2nn import l2_topk2
+
+    return _sharded_topk2(mesh, x, y, l2_topk2)
+
+
+def _sharded_topk2(mesh, x, y, kernel):
     def local(xl, yl):
-        idx, dist = l1_topk2_xla(xl, yl)
+        idx, dist = kernel(xl, yl)
         return _merge_block_topk(idx, dist, BLOCKS, xl.shape[0])
 
     fn = shard_map(

@@ -74,3 +74,18 @@ def test_mesh_shapes():
     assert mesh.shape == {"pairs": 2, "blocks": 4}
     with pytest.raises(RuntimeError):
         host_cpu_mesh(1024)
+
+
+def test_sharded_l2_match_equals_local(rng):
+    import jax.numpy as jnp
+
+    from spectavi_tpu.ops.l2nn import l2_topk2
+    from spectavi_tpu.parallel.two_view import sharded_l2_topk2
+
+    mesh = host_cpu_mesh(8, n_blocks=4)
+    x = jnp.asarray(rng.integers(0, 255, size=(512, 128)).astype("uint8"))
+    y = jnp.asarray(rng.integers(0, 255, size=(100, 128)).astype("uint8"))
+    idx_s, dist_s = sharded_l2_topk2(mesh, x, y)
+    idx_l, dist_l = l2_topk2(x, y)
+    np.testing.assert_array_equal(np.asarray(dist_s), np.asarray(dist_l))
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_l))
