@@ -1,11 +1,12 @@
-"""Descriptor normalization for byte-quantized matching.
+"""Descriptor quantization for byte matching.
 
-Parity with ``spectavi.feature.normalize_to_ubyte_and_multiple_16_dim``
-(reference ``spectavi/feature.py:384-407``): de-mean per column, scale
-into ``[-128, 127]``, round/clamp, and zero-pad the feature dimension to
-a multiple of 16 (the reference needs 16 for SSE alignment; here the pad
-keeps byte-matching layouts uniform, and TPU kernels pad further to
-lane width internally).
+Capability parity with the reference's
+``normalize_to_ubyte_and_multiple_16_dim`` (``spectavi/feature.py:
+384-407``): center each column, scale symmetrically into the int8
+range, and pad the feature dimension up to a multiple of 16.  The
+reference needs the 16-alignment for SSE loads; here it simply keeps
+byte-descriptor layouts uniform (TPU kernels pad further to lane width
+internally).
 """
 
 from __future__ import annotations
@@ -14,17 +15,19 @@ import numpy as np
 
 
 def normalize_to_ubyte_and_multiple_16_dim(x, dtype="float32"):
-    x0 = np.asarray(x, dtype=np.float64)
-    x0 = x0 - np.mean(x0, axis=0, keepdims=True)
-    max_per_col = np.max(x0, axis=0, keepdims=True)
-    min_per_col = np.min(x0, axis=0, keepdims=True)
-    norm = np.max(np.stack([max_per_col, -min_per_col]), axis=0)
-    x0 = x0 / norm * 128
-    x0 = np.round(x0)
-    x0[x0 > 127] = 127
-    x0[x0 < -128] = -128
-    xrows, dim = x0.shape
-    new_dim = int(np.ceil(dim / 16.0) * 16)
-    xx = np.zeros([xrows, new_dim])
-    xx[:, :dim] = x0
-    return xx.astype(dtype)
+    """Center, scale to [-128, 127], round, and 16-pad columns.
+
+    The symmetric scale is ``128 / max(|column extrema|)`` so the full
+    negative byte range is used without asymmetric clipping (a single
+    +127 clamp handles the positive edge case after rounding).
+    """
+    centered = np.asarray(x, np.float64) - np.asarray(x, np.float64).mean(0)
+    span = np.abs(
+        np.stack([centered.max(0), centered.min(0)])
+    ).max(0)
+    span = np.maximum(span, np.finfo(np.float64).tiny)  # constant columns
+    quant = np.clip(np.round(centered * (128.0 / span)), -128, 127)
+    rows, dim = quant.shape
+    out = np.zeros((rows, -(-dim // 16) * 16), dtype=dtype)
+    out[:, :dim] = quant
+    return out

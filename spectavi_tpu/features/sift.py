@@ -334,7 +334,16 @@ def detect_refine(dog, peak_thresh, edge_thresh, max_kp, n_iter=5):
         & (yn >= 0)
         & (yn <= H - 1)
     )
-    return {"x": xn, "y": yn, "s": sn, "is_": si, "yi": yi, "xi": xi, "valid": good}
+    return {
+        "x": xn,
+        "y": yn,
+        "s": sn,
+        "is_": si,
+        "yi": yi,
+        "xi": xi,
+        "valid": good,
+        "count": count,  # raw candidate count (may exceed max_kp)
+    }
 
 
 def _window_gather(level_arr, is_, yc, xc, radius):
@@ -497,6 +506,9 @@ def _detect_orient_stage(dog, mod, ang, peak_thresh, edge_thresh, max_kp):
             rep(det["y"]),
             rep(sigma_oct),
             rep(kp_is),
+            jnp.broadcast_to(
+                det["count"].astype(th.dtype), (max_kp * MAX_ANGLES,)
+            ),
         ]
     )
 
@@ -623,6 +635,17 @@ def sift_filter(
         span = budget * MAX_ANGLES
         meta = meta_all[:, off : off + span]
         off += span
+        n_candidates = int(meta[6, 0])
+        if n_candidates > budget:
+            import warnings
+
+            warnings.warn(
+                f"SIFT octave {oi}: {n_candidates} DoG candidates exceed "
+                f"the static budget {budget}; surplus keypoints dropped. "
+                "Raise max_kp_per_octave to keep them.",
+                stacklevel=2,
+            )
+        meta = meta[:6]
         sel2 = np.where(meta[1] > 0)[0]
         n_ang = len(sel2)
         if n_ang == 0:
@@ -671,25 +694,29 @@ def sift_filter_batch(ims, nthread=None):
 
 
 def sift_filter_striped(im, nthread=8, buffer_size=20):
-    """Striped SIFT (reference ``spectavi/feature.py:111-152``): split
-    into overlapping horizontal stripes, SIFT each, keep keypoints in
-    stripe interiors.  Kept for API parity + halo'd-tile semantics."""
+    """SIFT over halo'd horizontal stripes.
+
+    Capability parity with the reference's striped mode
+    (``spectavi/feature.py:111-152``): the image is cut into ``nthread``
+    horizontal bands, each extended by a ``buffer_size``-row halo so
+    border keypoints see their full support, and each band's keypoints
+    are then filtered back to the band interior (strict inequalities,
+    like the reference, so a keypoint exactly on a seam is dropped).
+    On TPU the bands exist for *memory* scaling, not threading — a
+    band's scale-space is a fraction of the full image's.
+    """
     im = np.asarray(im, dtype=np.float32)
-    hgt = im.shape[0]
-    split_hgt = int(np.ceil(hgt / float(nthread)))
-    bboxes, ims = [], []
-    for iy in range(0, hgt, split_hgt):
-        iy_start, iy_end = iy, min(iy + split_hgt, hgt)
-        bf_start = max(iy_start - buffer_size, 0)
-        bf_end = min(iy_end + buffer_size + 1, hgt)
-        bboxes.append((iy_start, iy_end, bf_start))
-        ims.append(im[bf_start:bf_end])
-    sifts = sift_filter_batch(ims)
-    ret = []
-    for (iy_start, iy_end, bf_start), kp in zip(bboxes, sifts):
-        sy = kp[:, 1] + bf_start
+    height = im.shape[0]
+    seams = np.linspace(0, height, nthread + 1).round().astype(int)
+    halo_lo = np.maximum(seams[:-1] - buffer_size, 0)
+    halo_hi = np.minimum(seams[1:] + buffer_size + 1, height)
+    bands = sift_filter_batch(
+        [im[lo:hi] for lo, hi in zip(halo_lo, halo_hi)]
+    )
+    kept = []
+    for kp, lo, y0, y1 in zip(bands, halo_lo, seams[:-1], seams[1:]):
         kp = kp.copy()
-        kp[:, 1] = sy
-        idx = (sy > iy_start) & (sy < iy_end)
-        ret.append(kp[idx])
-    return np.vstack(ret)
+        kp[:, 1] += lo  # back to whole-image coordinates
+        interior = (kp[:, 1] > y0) & (kp[:, 1] < y1)
+        kept.append(kp[interior])
+    return np.vstack(kept)

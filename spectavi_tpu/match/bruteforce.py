@@ -10,11 +10,11 @@ Pruning is data-dependent control flow that the MXU/VPU cannot exploit
 (the reference's ``mu`` approximation knob is accepted for API parity
 but exact answers are always returned, a strict superset of accuracy).
 
-The SSE ``_mm_sad_epu8`` path of the reference maps to
-:func:`spectavi_tpu.ops.l1nn.l1_topk2_tpu`, a Pallas kernel that
-streams the distance matrix through VMEM with a running top-2 per
-query; the portable XLA fallback here computes the same int32 L1
-distances exactly.
+The SSE ``_mm_sad_epu8`` path of the reference maps to the fused
+Pallas MXU matcher (:mod:`spectavi_tpu.ops.l2nn_pallas`, squared-L2 —
+the metric where TPU hardware is fastest and Lowe's original choice);
+exact L1 parity stays available through the XLA lowering here
+(:func:`l1_topk2_xla`), which computes identical int32 L1 distances.
 """
 
 from __future__ import annotations
@@ -130,8 +130,9 @@ def nn_bruteforcel1k2(x, y, nthreads=None):
 
     API parity with ``spectavi.feature.nn_bruteforcel1k2`` (reference
     ``spectavi/feature.py:292-304``); ``nthreads`` is accepted and
-    ignored (parallelism is XLA's job).  Uses the Pallas streaming
-    kernel on TPU backends and the XLA fallback elsewhere.
+    ignored (parallelism is XLA's job).  Exact-L1 semantics via the
+    XLA lowering (see :mod:`spectavi_tpu.ops.l1nn` for why L1 has no
+    Pallas kernel; the fast path is the fused L2 matcher).
     """
     del nthreads
     x = np.asarray(x)

@@ -97,6 +97,47 @@ def cameras_from_svd(U, Vt):
     return P
 
 
+def svd3x3(F):
+    """Batched SVD of ``(..., 3, 3)`` via eigendecomposition of F^T F.
+
+    ``jnp.linalg.svd`` lowers to a slow iterative kernel on TPU for
+    small batched matrices; symmetric ``eigh`` is several times faster
+    and is exact for our use: ``V`` from ``eigh(F^T F)`` (descending),
+    ``s = sqrt(eigvals)``, ``u_i = F v_i / s_i`` for the two dominant
+    columns, and ``u_2 = u_0 x u_1`` (the essential-matrix spectrum is
+    ``(s, s, 0)``, so the smallest singular vector pair is the only
+    well-separated one and the cross product sidesteps the 0/0).
+
+    Returns ``(U, s, Vt)`` with ``s`` descending — same contract as
+    ``jnp.linalg.svd`` up to column-sign/degenerate-subspace choices,
+    which every consumer here is invariant to (singular values for
+    gates; ``cameras_from_svd`` enumerates the sign ambiguities).
+    """
+    G = jnp.swapaxes(F, -1, -2) @ F
+    w, V = jnp.linalg.eigh(G)  # ascending
+    w = w[..., ::-1]
+    V = V[..., ::-1]
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    FV = F @ V
+    u0 = FV[..., :, 0] / jnp.maximum(s[..., 0:1], 1e-30)
+    u1 = FV[..., :, 1] / jnp.maximum(s[..., 1:2], 1e-30)
+    # re-orthonormalize u1 against u0 (guards the degenerate pair)
+    u1 = u1 - jnp.sum(u0 * u1, axis=-1, keepdims=True) * u0
+    u1 = u1 / jnp.maximum(
+        jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-30
+    )
+    u0 = u0 / jnp.maximum(
+        jnp.linalg.norm(u0, axis=-1, keepdims=True), 1e-30
+    )
+    u2 = jnp.cross(u0, u1)
+    # sign: the true third left vector satisfies F v2 = s2 u2; for the
+    # essential spectrum s2 ~ 0 either sign is a valid SVD
+    sgn = jnp.sum(FV[..., :, 2] * u2, axis=-1, keepdims=True)
+    u2 = u2 * jnp.where(sgn < 0, -1.0, 1.0)
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    return U, s, jnp.swapaxes(V, -1, -2)
+
+
 def inv3x3(M):
     """Closed-form (adjugate) inverse of ``(..., 3, 3)`` matrices.
 

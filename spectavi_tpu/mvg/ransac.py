@@ -2,11 +2,24 @@
 
 Re-design of ``RansacFitter`` (reference ``src/RansacFitter.h:21-288``)
 for TPU: the reference runs sequential trials on OpenMP threads with a
-lock around the best-model state and a racy first-success short-circuit.
-Here a whole batch of trials is drawn with one PRNG key, solved with one
-batched 7-point call, and scored as one ``(trial, root, camera, point)``
-tensor; the winner is an argmax.  Deterministic given the key — which
-also fixes the reference's unseeded-RNG flakiness.
+lock around the best-model state and a racy first-success
+short-circuit.  Here the ENTIRE fit is one jitted device program —
+a ``lax.while_loop`` over trial batches, each batch drawn with one
+PRNG key, solved with one batched 7-point call, and scored as one
+``(trial, root, camera, point)`` tensor; the winner is an argmax, the
+adaptive/confidence termination runs on device, and LO-RANSAC
+refinement is fused into the same program.  One device dispatch and
+one host pull per fit (round 1 paid ~0.5 s of tunnel latency per
+batch plus slow TPU LAPACK kernels: 13-18 s/pair; this path measures
+well under a second warm).  Deterministic given the key — which also
+fixes the reference's unseeded-RNG flakiness.
+
+TPU-specific linear algebra: hypothesis scoring decomposes F with
+:func:`spectavi_tpu.mvg.core.svd3x3` (eigh-based — ``jnp.linalg.svd``
+is an order of magnitude slower for small batched matrices on TPU),
+and the LO-RANSAC 8-point refit solves the 9x9 normal equations with
+``eigh`` in f64 instead of a tall SVD with ``full_matrices=True``
+(which would build an N x N basis).
 
 Semantics parity (same gates as reference ``process_fundamental_matrix``,
 ``src/RansacFitter.h:42-98``):
@@ -18,7 +31,12 @@ Semantics parity (same gates as reference ``process_fundamental_matrix``,
   triangulated point is in front of both cameras;
 * the *raw* fundamental root (not the projected E) is returned as
   ``essential`` — matching the reference, which stores ``F0``
-  (``src/RansacFitter.h:216``).
+  (``src/RansacFitter.h:216``).  Exception: when the LO-RANSAC
+  extension (absent from the reference) improves the model, the
+  returned ``essential`` is the locally-optimized, singular-value-
+  projected E — the model the returned camera/inliers belong to.
+  Disable with ``options={"local_optimization": False}`` for strict
+  raw-root parity.
 """
 
 from __future__ import annotations
@@ -29,7 +47,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spectavi_tpu.mvg.core import cameras_from_svd, hnormalize, identity_camera
+from spectavi_tpu.mvg.core import (
+    cameras_from_svd,
+    hnormalize,
+    identity_camera,
+    svd3x3,
+)
 from spectavi_tpu.mvg.sevenpoint import seven_point
 from spectavi_tpu.mvg.triangulate import triangulate_fast_full
 
@@ -43,6 +66,74 @@ DEFAULT_OPTIONS = {
 }
 
 
+def _sample_subsets(key, n, trials, point_mask):
+    """Draw ``(trials, 7)`` index samples without replacement from the
+    unmasked rows: uniform keys + 7 iterated masked argmins (argmin is
+    cheap in XLA; ``random.choice(replace=False)`` sorts)."""
+    u = jax.random.uniform(key, (trials, n))
+    u = jnp.where(point_mask[None, :], u, jnp.inf)
+    idxs = []
+    for _ in range(7):
+        i = jnp.argmin(u, axis=1)
+        idxs.append(i)
+        u = u.at[jnp.arange(trials), i].set(jnp.inf)
+    return jnp.stack(idxs, axis=1)
+
+
+def _score_hypotheses(F, valid, x0, x1, point_mask, reproj_allowed, svr_allowed, chunk=64):
+    """Inlier counts for a batch of 7-point roots.
+
+    ``F (T, 3, 3, 3)``, ``valid (T, 3)`` -> ``counts (T, 3)`` with -1
+    where the SVR/validity gate fails.
+    """
+    trials = F.shape[0]
+    P0 = identity_camera(x0.dtype)
+
+    def score_trial(args):
+        Ft, validt = args  # (3,3,3), (3,)
+        U, S, Vt = svd3x3(Ft)
+        ratio = jnp.abs(S[:, 0] - S[:, 1]) / (jnp.abs(S[:, 0] + S[:, 1]) / 2.0)
+        gate = (ratio <= svr_allowed) & validt
+        P1 = cameras_from_svd(U, Vt)  # (3,4,3,4)
+        _, reproj, infront = triangulate_fast_full(
+            P0,
+            P1[:, :, None, :, :],
+            x0[None, None, :, :],
+            x1[None, None, :, :],
+        )
+        inlier = (reproj <= reproj_allowed) & infront & point_mask
+        counts = inlier.sum(-1).astype(jnp.int32)  # (3,4)
+        return jnp.where(gate[:, None], counts, -1).max(-1)  # (3,)
+
+    pad = (-trials) % chunk
+    Fp = jnp.pad(F, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    vp = jnp.pad(valid, ((0, pad), (0, 0)))
+    Fc = Fp.reshape(-1, chunk, 3, 3, 3)
+    vc = vp.reshape(-1, chunk, 3)
+    counts = jax.lax.map(jax.vmap(score_trial), (Fc, vc))
+    return counts.reshape(-1, 3)[:trials]  # (T, 3)
+
+
+def _rescore_best(F, x0, x1, point_mask, reproj_allowed):
+    """Re-score one F: best of its 4 cameras, with the mask.
+
+    The winner's camera must be instantiated and scored from ONE
+    decomposition call site: SVD sign conventions can differ between
+    program points (observed on TPU), so a camera *index* chosen
+    elsewhere could pick the opposite-translation twin.
+    """
+    P0 = identity_camera(x0.dtype)
+    U, S, Vt = svd3x3(F)
+    P1s = cameras_from_svd(U, Vt)  # (4, 3, 4)
+    _, reproj, infront = triangulate_fast_full(
+        P0, P1s[:, None, :, :], x0[None], x1[None]
+    )
+    inlier = (reproj <= reproj_allowed) & infront & point_mask  # (4, N)
+    counts = inlier.sum(-1).astype(jnp.int32)
+    ic = jnp.argmax(counts)
+    return P1s[ic], counts[ic], inlier[ic]
+
+
 def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed, point_mask=None):
     """Run one batch of RANSAC trials; return the batch winner.
 
@@ -52,81 +143,35 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed, poin
     x0, x1 : ``(N, 2)`` euclidean correspondences (pre-hnormalized).
     trials : static int — number of 7-point samples in this batch.
     point_mask : optional ``(N,)`` bool — rows that are real
-        correspondences (the wrapper pads N to power-of-two buckets so
-        varying match counts reuse one compiled program; padded rows are
-        never sampled and never counted).
+        correspondences (wrappers pad N to power-of-two buckets so
+        varying match counts reuse one compiled program; padded rows
+        are never sampled and never counted).
 
     Returns
     -------
     dict with ``essential (3,3)``, ``camera (3,4)``, ``count`` (best
-    inlier count), ``inlier_mask (N,)`` for the winner.
+    inlier count, -1 if every hypothesis failed the gate),
+    ``inlier_mask (N,)`` for the winner.
     """
     N = x0.shape[0]
-    dtype = x0.dtype
     if point_mask is None:
         point_mask = jnp.ones(N, dtype=bool)
-    p = point_mask.astype(dtype)
-    p = p / p.sum()
-    keys = jax.random.split(key, trials)
-    sample = jax.vmap(
-        lambda k: jax.random.choice(k, N, shape=(7,), replace=False, p=p)
-    )(keys)
+    sample = _sample_subsets(key, N, trials, point_mask)
     F, valid = seven_point(x0[sample], x1[sample])  # (T,3,3,3), (T,3)
-
-    P0 = identity_camera(dtype)
-
-    def score_trial(args):
-        Ft, validt = args  # (3,3,3), (3,)
-        U, S, Vt = jnp.linalg.svd(Ft)
-        ratio = jnp.abs(S[:, 0] - S[:, 1]) / (jnp.abs(S[:, 0] + S[:, 1]) / 2.0)
-        gate = (ratio <= svr_allowed) & validt
-        P1 = cameras_from_svd(U, Vt)  # (3,4,3,4)
-        # score every (root, camera) against every point: (3,4,N)
-        # (closed-form scoring triangulation; SVD only for the winner)
-        _, reproj, infront = triangulate_fast_full(
-            P0,
-            P1[:, :, None, :, :],
-            x0[None, None, :, :],
-            x1[None, None, :, :],
-        )
-        inlier = (reproj <= reproj_allowed) & infront & point_mask
-        counts = inlier.sum(-1)  # (3,4)
-        counts = jnp.where(gate[:, None], counts, -1)
-        return counts
-
-    # vectorize trials in chunks: vmap gives the hardware wide batches,
-    # the outer map bounds peak memory (each chunk scores a
-    # (chunk, 3, 4, N) tensor)
-    chunk = min(64, trials)
-    pad = (-trials) % chunk
-    Fp = jnp.pad(F, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    vp = jnp.pad(valid, ((0, pad), (0, 0)))
-    Fc = Fp.reshape(-1, chunk, 3, 3, 3)
-    vc = vp.reshape(-1, chunk, 3)
-    counts = jax.lax.map(jax.vmap(score_trial), (Fc, vc))
-    counts = counts.reshape(-1, 3, 4)[:trials]  # (T,3,4)
+    counts = _score_hypotheses(
+        F, valid, x0, x1, point_mask, reproj_allowed, svr_allowed
+    )
     flat = counts.reshape(-1)
     best = jnp.argmax(flat)
-    it, ir, _ = jnp.unravel_index(best, counts.shape)
+    best_ok = flat[best] >= 0
+    it, ir = jnp.unravel_index(best, counts.shape)
     Fb = F[it, ir]
-    # The winner's camera must come from re-scoring all 4 candidates of
-    # THIS svd call: SVD sign conventions can differ between program
-    # points (observed on TPU), so reusing the camera *index* selected
-    # inside score_trial could pick the opposite-translation twin.
-    # Re-scoring also guarantees mask.sum() == count.
-    Ub, Sb, Vtb = jnp.linalg.svd(Fb)
-    P1s = cameras_from_svd(Ub, Vtb)  # (4, 3, 4)
-    _, reproj, infront = triangulate_fast_full(
-        P0, P1s[:, None, :, :], x0[None], x1[None]
-    )
-    inlier4 = (reproj <= reproj_allowed) & infront & point_mask  # (4, N)
-    counts4 = inlier4.sum(-1)
-    icb = jnp.argmax(counts4)
+    camera, count, mask = _rescore_best(Fb, x0, x1, point_mask, reproj_allowed)
     return {
         "essential": Fb,
-        "camera": P1s[icb],
-        "count": counts4[icb],
-        "inlier_mask": inlier4[icb],
+        "camera": camera,
+        "count": jnp.where(best_ok, count, -1),
+        "inlier_mask": mask & best_ok,
     }
 
 
@@ -135,46 +180,146 @@ ransac_essential_batch = partial(jax.jit, static_argnames=("trials",))(
 )
 
 
-@jax.jit
 def _lo_refine_step(x0, x1, weights, reproj_allowed, point_mask):
-    """One local-optimization step (LO-RANSAC): weighted 8-point fit on
-    the current inliers, project to an essential matrix, re-select the
-    best camera by cheirality, and re-score all matches.
-
-    ``weights (N,)`` — 1.0 for current inliers, 0.0 otherwise.
-    Returns ``(E, camera, count, mask)``.
-    """
+    """One LO-RANSAC step: weighted 8-point refit on the current
+    inliers via the 9x9 normal equations (f64 eigh — a tall SVD with
+    ``full_matrices=True`` would build an N x N basis), projection to
+    an essential matrix, camera re-selection, full re-score."""
     u, v = x0[:, 0], x0[:, 1]
     up, vp = x1[:, 0], x1[:, 1]
     one = jnp.ones_like(u)
     A = jnp.stack([up * u, up * v, up, vp * u, vp * v, vp, u, v, one], axis=-1)
     A = A * weights[:, None]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F = Vt[8].reshape(3, 3)
-    U, S, Vt3 = jnp.linalg.svd(F)
-    E = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt3
-    P1 = cameras_from_svd(U, Vt3)  # (4, 3, 4)
+    G = (jnp.swapaxes(A, 0, 1) @ A)
+    _, V = jnp.linalg.eigh(G)  # ascending: column 0 = null direction
+    F = V[:, 0].reshape(3, 3).astype(x0.dtype)
+    U3, S3, Vt3 = svd3x3(F)
+    E = U3 @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt3
+    P1 = cameras_from_svd(U3, Vt3)  # (4, 3, 4)
     P0 = identity_camera(x0.dtype)
     _, reproj, infront = triangulate_fast_full(
         P0, P1[:, None, :, :], x0[None], x1[None]
     )
     inlier = (reproj <= reproj_allowed) & infront & point_mask  # (4, N)
-    counts = inlier.sum(-1)
+    counts = inlier.sum(-1).astype(jnp.int32)
     ic = jnp.argmax(counts)
     return E, P1[ic], counts[ic], inlier[ic]
 
 
-def ransac_fitter(x0, x1, options=None, key=None, batch_trials=512, max_batches=2000, confidence=0.999):
+@partial(jax.jit, static_argnames=("batch_trials", "lo_iters"))
+def ransac_fit_device(
+    key,
+    x0,
+    x1,
+    point_mask,
+    reproj_allowed,
+    svr_allowed,
+    required_count,
+    max_tries,
+    confidence,
+    batch_trials=512,
+    lo_iters=4,
+):
+    """The full RANSAC fit as one device program.
+
+    ``lax.while_loop`` over ``batch_trials``-sized batches with the
+    batched analogue of the reference's first-success short-circuit
+    (``src/RansacFitter.h:185-187``): stop when the required count is
+    reached, when ``max_tries`` trials have been drawn (honoured
+    exactly — no silent cap), or when enough trials have run for
+    ``confidence`` odds of having sampled an all-inlier 7-subset at
+    the observed inlier rate.  Then the winner is re-scored and
+    LO-refined, all without leaving the device.
+
+    Returns ``(essential, camera, count, inlier_mask, tries)``;
+    ``count`` is -1 when every hypothesis failed the gate.
+    """
+    N = x0.shape[0]
+    n_real = point_mask.sum()
+
+    def needed_tries(best_count):
+        w = jnp.clip(best_count.astype(x0.dtype) / n_real, 0.0, 1.0)
+        p_good = jnp.clip(w**7, 1e-30, 1.0 - 1e-12)
+        return jnp.log1p(-confidence + 0.0) / jnp.log1p(-p_good)
+
+    def cond(carry):
+        key, tries, best_count, bestF = carry
+        not_enough = best_count < required_count
+        under_max = tries < max_tries
+        under_conf = tries.astype(x0.dtype) < needed_tries(best_count)
+        return under_max & not_enough & under_conf
+
+    def body(carry):
+        key, tries, best_count, bestF = carry
+        key, sub = jax.random.split(key)
+        sample = _sample_subsets(sub, N, batch_trials, point_mask)
+        F, valid = seven_point(x0[sample], x1[sample])
+        # mask trials beyond max_tries so they cannot win
+        live = jnp.arange(batch_trials) < (max_tries - tries)
+        counts = _score_hypotheses(
+            F, valid & live[:, None], x0, x1, point_mask,
+            reproj_allowed, svr_allowed,
+        )
+        flat = counts.reshape(-1)
+        b = jnp.argmax(flat)
+        it, ir = jnp.unravel_index(b, counts.shape)
+        better = flat[b] > best_count
+        best_count = jnp.where(better, flat[b], best_count)
+        bestF = jnp.where(better, F[it, ir], bestF)
+        tries = tries + jnp.minimum(batch_trials, max_tries - tries)
+        return key, tries, best_count, bestF
+
+    key0 = key
+    init = (key0, jnp.int64(0) if max_tries.dtype == jnp.int64 else jnp.int32(0),
+            jnp.int32(-1), jnp.zeros((3, 3), x0.dtype))
+    key, tries, best_count, bestF = jax.lax.while_loop(cond, body, init)
+
+    camera, count, mask = _rescore_best(
+        bestF, x0, x1, point_mask, reproj_allowed
+    )
+    ok = best_count >= 0
+    count = jnp.where(ok, count, -1)
+    mask = mask & ok
+    essential = bestF
+
+    # fused LO-RANSAC: refine while it improves, up to lo_iters
+    def lo_cond(carry):
+        it, improved, E, P, c, m = carry
+        return (it < lo_iters) & improved & (c >= 8)
+
+    def lo_body(carry):
+        it, improved, E, P, c, m = carry
+        E2, P2, c2, m2 = _lo_refine_step(
+            x0, x1, m.astype(x0.dtype), reproj_allowed, point_mask
+        )
+        better = c2 > c
+        return (
+            it + 1,
+            better,
+            jnp.where(better, E2, E),
+            jnp.where(better, P2, P),
+            jnp.where(better, c2, c),
+            jnp.where(better, m2, m),
+        )
+
+    it0 = jnp.int32(0)
+    _, _, essential, camera, count, mask = jax.lax.while_loop(
+        lo_cond, lo_body, (it0, ok, essential, camera, count, mask)
+    )
+    return essential, camera, count, mask, tries
+
+
+def ransac_fitter(x0, x1, options=None, key=None, batch_trials=512, confidence=0.999):
     """Fit a two-view essential matrix to tentative correspondences.
 
     API parity with ``spectavi.mvg.ransac_fitter`` (reference
     ``spectavi/mvg.py:138-221``): same options dict, same return dict
     (``success``, ``essential``, ``camera``, ``inlier_percent``,
     ``inlier_idx``).  Extra ``key`` argument makes the fit
-    deterministic; ``maximum_tries`` is honoured by looping jitted
-    batches of ``batch_trials`` trials with early exit on success —
-    the batched analogue of the reference's first-success
-    short-circuit (``src/RansacFitter.h:185-187``).
+    deterministic.  ``maximum_tries`` is honoured exactly by the
+    device loop; termination additionally uses the standard adaptive
+    confidence bound (a strict improvement on the reference, which
+    only stops early on first success).
     """
     opts = dict(DEFAULT_OPTIONS)
     if options:
@@ -202,68 +347,53 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=512, max_batches=
     pmask[:N] = True
     x0j = jnp.asarray(np.pad(x0, ((0, Np - N), (0, 0))))
     x1j = jnp.asarray(np.pad(x1, ((0, Np - N), (0, 0))))
-    pmask_j = jnp.asarray(pmask)
 
-    best = None
-    best_count = -1
-    tries = 0
-    batches = 0
-    while tries < max_tries and batches < max_batches:
-        trials = min(batch_trials, max_tries - tries)
-        key, sub = jax.random.split(key)
-        out = ransac_essential_batch(
-            sub,
-            x0j,
-            x1j,
-            trials,
-            opts["reprojection_error_allowed"],
-            opts["singular_value_ratio_allowed"],
-            pmask_j,
-        )
-        count = int(out["count"])
-        if best is None or count > best_count:
-            best_count = count
-            best = out
-        tries += trials
-        batches += 1
-        w = max(best_count, 0) / N
-        if w >= required:
-            break
-        # adaptive termination: enough trials for `confidence` odds of
-        # having sampled an all-inlier 7-subset at the observed rate
-        if w > 0:
-            denom = np.log1p(-min(w**7, 1 - 1e-12))
-            needed = np.log(1 - confidence) / denom
-            if tries >= needed:
-                break
+    lo_iters = 4 if opts.get("local_optimization", True) else 0
+    required_count = int(np.ceil(required * N))
+    essential, camera, count, mask, tries = ransac_fit_device(
+        key,
+        x0j,
+        x1j,
+        jnp.asarray(pmask),
+        jnp.asarray(opts["reprojection_error_allowed"], x0j.dtype),
+        jnp.asarray(opts["singular_value_ratio_allowed"], x0j.dtype),
+        jnp.asarray(required_count, jnp.int32),
+        jnp.asarray(max_tries, jnp.int32),
+        jnp.asarray(confidence, x0j.dtype),
+        batch_trials=batch_trials,
+        lo_iters=lo_iters,
+    )
+    best_count = int(count)
 
-    essential = np.asarray(best["essential"])
-    camera = np.asarray(best["camera"])
-    mask = np.asarray(best["inlier_mask"])
-
-    # local optimization (LO-RANSAC, beyond the reference): iterated
-    # all-inlier 8-point refits typically grow the consensus set
-    # substantially on real data; disable with options
-    # {"local_optimization": False} for strict minimal-sample parity.
-    if opts.get("local_optimization", True) and mask.sum() >= 8:
-        for _ in range(4):
-            E_r, P_r, count_r, mask_r = _lo_refine_step(
-                x0j, x1j, jnp.asarray(mask, x0j.dtype),
-                opts["reprojection_error_allowed"], pmask_j,
-            )
-            count_r = int(count_r)
-            if count_r <= best_count:
-                break
-            best_count = count_r
-            essential = np.asarray(E_r)
-            camera = np.asarray(P_r)
-            mask = np.asarray(mask_r)
+    if best_count < 0:
+        # every trial failed the SVR/validity gate: no model was ever
+        # stored (reference parity — a gate-failing F never reaches the
+        # best-fit state, src/RansacFitter.h:200-252)
+        return {
+            "success": False,
+            "essential": np.zeros((3, 3)),
+            "camera": np.zeros((3, 4)),
+            "inlier_percent": 0.0,
+            "inlier_idx": np.zeros((0,), np.int32),
+        }
 
     success = best_count / N >= required
+    if not success and not opts["find_best_even_in_failure"]:
+        # reference parity (src/RansacFitter.h:206-230): without this
+        # flag a below-threshold model is never stored, so failure
+        # returns empty outputs rather than the best-so-far model.
+        return {
+            "success": False,
+            "essential": np.zeros((3, 3)),
+            "camera": np.zeros((3, 4)),
+            "inlier_percent": best_count / N,
+            "inlier_idx": np.zeros((0,), np.int32),
+        }
+    mask = np.asarray(mask)
     return {
         "success": bool(success),
-        "essential": essential,
-        "camera": camera,
+        "essential": np.asarray(essential),
+        "camera": np.asarray(camera),
         "inlier_percent": best_count / N,
         "inlier_idx": np.where(mask[:N])[0].astype(np.int32),
     }

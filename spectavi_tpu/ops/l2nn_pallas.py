@@ -1,0 +1,196 @@
+"""Fused Pallas TPU kernel: exact top-2 squared-L2 matching on the MXU.
+
+Production matcher kernel (reference capability: the SSE SAD scan,
+``src/BruteForceNnL1K2.h:55-146``).  The naive XLA lowering of
+matmul + ``lax.top_k`` materializes the ``(Y, X)`` int32 distance
+matrix in HBM and runs a full variadic sort per row — measured at
+~7.8 ms per 4096x4096x128 pair on v5e (~700x off the int8-MXU
+roofline).  This kernel streams the distance matrix through VMEM with
+a running (best, second-best) per query and never touches HBM with it.
+Three design points matter (all measured on the chip):
+
+* **Transposed layout** — database rows on *sublanes*, queries on
+  *lanes*: ``xyT (TX, TY) = dot(x_tile, y^T)``.  The top-2 reduction
+  then runs along the sublane axis, which the VPU reduces with cheap
+  sublane trees; the natural (query-major) layout needs cross-lane
+  shuffles and measures ~3x slower.  (Mosaic also has no int32 argmin,
+  so a reduction that *carries* the index is required anyway.)
+* **Packed keys** — ``key = 256*d2 + row8`` with ``row8`` the database
+  row within its 256-row tile.  One ``min`` then yields distance and
+  first-occurrence index together (the reference's ascending-scan
+  tie-break), and the second-best comes from one masked ``min``.
+  Exactness: 128-dim byte descriptors give ``|d2| = |xx - 2xy| <=
+  6.3M < 2^23``, so the pack cannot overflow int32, and two's-
+  complement keeps it monotone in ``(d2, row)`` even when ``d2 < 0``
+  (the query norm, constant per query, is added back outside).
+  The pack constants fold into a precomputed per-row vector
+  ``xxk = 256*||x_i||^2 + (i % 256)`` so the whole key is one fused
+  multiply-subtract off the MXU output.
+* **Big query tiles** (TY = 2048 lanes x TX = 256 sublanes): the
+  dominant cost is VMEM passes over the (TX, TY) tile, ~12 us per
+  full-matrix pass at 4096^2; this shape measured best (~30-40
+  us/pair, 25-33k pairs/s — ~3x off the 11 us int8 roofline, with the
+  gap fully accounted by the 2-3 reduction passes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_I32M = jnp.iinfo(jnp.int32).max
+_TX = 256  # database rows per tile; row index must fit the low 8 bits
+_TY = 2048  # query lanes per grid step
+
+
+def _fused_kernel(xxk_ref, y_ref, x_ref, idx_ref, dist_ref, *, n_x_tiles):
+    """One query tile: stream database tiles, carry running top-2."""
+    yv = y_ref[:]  # (TY, D) int8
+
+    def tile_top2(k):
+        xb = x_ref[pl.ds(k * _TX, _TX), :]  # (TX, D) int8
+        xyT = jax.lax.dot_general(
+            xb,
+            yv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (TX, TY)
+        # key = 256*(xx - 2*xy) + row8, one fused op off the MXU output
+        key = xxk_ref[pl.ds(k * _TX, _TX), :] - 512 * xyT
+        m1 = jnp.min(key, axis=0, keepdims=True)  # (1, TY)
+        m2 = jnp.min(jnp.where(key == m1, _I32M, key), axis=0, keepdims=True)
+        base = k * _TX
+        return m1 >> 8, (m1 & 255) + base, m2 >> 8, (m2 & 255) + base
+
+    def body(k, carry):
+        b1, bi1, b2, bi2 = carry
+        m1, i1, m2, i2 = tile_top2(k)
+        # merge two sorted pairs; ties keep the running entry, i.e. the
+        # lower database index (tiles are visited ascending)
+        new_wins = m1 < b1
+        f_d = jnp.where(new_wins, m1, b1)
+        f_i = jnp.where(new_wins, i1, bi1)
+        s_d = jnp.where(new_wins, jnp.minimum(b1, m2), jnp.minimum(m1, b2))
+        s_i = jnp.where(
+            new_wins,
+            jnp.where(b1 <= m2, bi1, i2),
+            jnp.where(m1 < b2, i1, bi2),
+        )
+        return f_d, f_i, s_d, s_i
+
+    init = tile_top2(0)
+    m1, i1, m2, i2 = jax.lax.fori_loop(1, n_x_tiles, body, init)
+    dist_ref[0:1, :] = m1
+    dist_ref[1:2, :] = m2
+    idx_ref[0:1, :] = i1
+    idx_ref[1:2, :] = i2
+
+
+def _pow2_clip(n, lo, hi):
+    return max(lo, min(hi, 1 << (max(n, 1) - 1).bit_length()))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def l2_topk2_pallas(x, y, interpret=False):
+    """Exact top-2 squared-L2 neighbours of ``y`` rows among ``x`` rows.
+
+    ``x (X, D)``, ``y (Y, D)`` int8 (callers shift uint8 by -128; the
+    shift cancels in distances).  Returns ``(idx (Y, 2) int32,
+    dist2 (Y, 2) int32)`` ascending, true squared distances.
+
+    The database block is pinned in VMEM; :func:`l2_topk2_fused`
+    shards larger sets and merges.
+    """
+    if x.dtype != jnp.int8 or y.dtype != jnp.int8:
+        raise TypeError(f"int8 descriptors required, got {x.dtype}/{y.dtype}")
+    X, D = x.shape
+    Y = y.shape[0]
+    ty = _pow2_clip(Y, 128, _TY)
+
+    padx = (-X) % _TX
+    pady = (-Y) % ty
+    padd = (-D) % 128
+    xp = jnp.pad(x, ((0, padx), (0, padd)))
+    yp = jnp.pad(y, ((0, pady), (0, padd)))
+    Xp, Dp = xp.shape
+    Yp = yp.shape[0]
+
+    xx = jnp.sum(xp.astype(jnp.int32) ** 2, axis=1)
+    # padded database rows must never win: real |d2| <= 6.3M, and this
+    # sentinel keeps the packed key inside int32
+    if padx:
+        xx = xx.at[X:].set((1 << 23) - _TX)
+    row8 = jnp.arange(Xp, dtype=jnp.int32) % _TX
+    xxk = (256 * xx + row8)[:, None]  # (Xp, 1)
+
+    kernel = functools.partial(_fused_kernel, n_x_tiles=Xp // _TX)
+    idx, dist = pl.pallas_call(
+        kernel,
+        grid=(Yp // ty,),
+        in_specs=[
+            pl.BlockSpec((Xp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ty, Dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Xp, Dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, ty), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, ty), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, Yp), jnp.int32),
+            jax.ShapeDtypeStruct((2, Yp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Yp * Xp * Dp,
+            bytes_accessed=Xp * Dp + Yp * Dp + Yp * 16,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xxk, yp, xp)
+
+    yy = jnp.sum(y.astype(jnp.int32) ** 2, axis=1)[:, None]
+    return idx.T[:Y], dist.T[:Y] + yy
+
+
+def _to_i8(a):
+    if a.dtype == jnp.uint8:
+        return (a.astype(jnp.int32) - 128).astype(jnp.int8)
+    if a.dtype == jnp.int8:
+        return a
+    raise TypeError(f"byte descriptors required (uint8/int8), got {a.dtype}")
+
+
+# largest database block the kernel pins in VMEM (int8 bytes, leaving
+# room for the (TX, TY) distance tile and double buffers)
+_VMEM_DB_BYTES = 8 * 1024 * 1024
+
+
+def l2_topk2_fused(x, y, interpret=False):
+    """Top-2 exact L2 matcher: fused Pallas kernel, sharding databases
+    larger than VMEM and merging the per-shard top-2 lists (the same
+    merge the multi-chip path runs over ICI).
+
+    Accepts uint8 or int8; returns global ``(idx (Y,2), dist2 (Y,2))``.
+    """
+    xi = _to_i8(x)
+    yi = _to_i8(y)
+    X, D = xi.shape
+    shard = max(_TX, (_VMEM_DB_BYTES // max(D, 1)) // _TX * _TX)
+    if X <= shard:
+        return l2_topk2_pallas(xi, yi, interpret=interpret)
+    idxs, dists = [], []
+    for s in range(0, X, shard):
+        e = min(s + shard, X)
+        idx, dist = l2_topk2_pallas(xi[s:e], yi, interpret=interpret)
+        idxs.append(idx + s)
+        dists.append(dist)
+    all_idx = jnp.concatenate(idxs, axis=1)
+    all_dist = jnp.concatenate(dists, axis=1)
+    # merge per-shard sorted pairs pairwise (top_k over 2S entries per
+    # query is fine here: S is tiny)
+    neg_d, sel = jax.lax.top_k(-all_dist, 2)
+    return jnp.take_along_axis(all_idx, sel, axis=1), -neg_d

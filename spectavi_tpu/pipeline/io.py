@@ -43,13 +43,13 @@ def imread(filename, dtype="float64", force_grayscale=False):
     from PIL import Image
 
     im = np.asarray(Image.open(filename))
-    if im.dtype == np.uint8:
-        im = im / 255.0  # PIL gives bytes; matplotlib-style [0,1] floats
     if force_grayscale:
         im = rgb_to_gray(im)
     im = im.astype(dtype)
     if dtype in ("float32", "float64"):
-        im = im / np.max(im)
+        # single max-normalization (as the reference does); guard the
+        # all-black case so it yields zeros instead of NaNs
+        im = im / np.maximum(np.max(im), np.finfo(im.dtype).tiny)
     return im
 
 

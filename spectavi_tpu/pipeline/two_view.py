@@ -80,7 +80,12 @@ def step3_estimate_essential(xd, yd, K, ransac_quality="ultra", options=None, ke
         "required_percent_inliers": quality[ransac_quality],
         "reprojection_error_allowed": 3.35e-4,
         "maximum_tries": 10000000,
-        "find_best_even_in_failure": False,
+        # the reference ex01 sets False (example/ex01:149) and relies on
+        # castle clearing the threshold; with the flag honoured (it was
+        # silently ignored in round 1) a below-threshold fit would return
+        # empty outputs and kill steps 4-5, so the pipeline keeps the
+        # best model by default.  Override via ``options``.
+        "find_best_even_in_failure": True,
         "singular_value_ratio_allowed": 1e-3,
         "progressbar": False,
     }

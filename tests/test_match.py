@@ -65,21 +65,45 @@ def test_nn_bruteforcel1k2_alignment_check(rng):
         match.nn_bruteforcel1k2(x, x)
 
 
-def test_pallas_l1_kernel_interpret_matches_xla(rng):
-    """The Pallas streaming kernel (interpret mode on CPU) must agree
-    exactly with the XLA fallback, including tie-handling."""
+def test_pallas_l2_fused_kernel_interpret_exact(rng):
+    """The fused Pallas L2 matcher (interpret mode on CPU) must agree
+    exactly with the numpy oracle, including first-occurrence
+    tie-breaks and the padded/sharded paths."""
     import jax.numpy as jnp
 
-    from spectavi_tpu.match.bruteforce import l1_topk2_xla
-    from spectavi_tpu.ops.l1nn import l1_topk2_pallas
+    from spectavi_tpu.ops.l2nn_pallas import l2_topk2_fused
 
-    # small-range values force many distance ties
-    x = rng.integers(0, 4, size=(137, 32)).astype("uint8")
-    y = rng.integers(0, 4, size=(75, 32)).astype("uint8")
-    ip, dp = l1_topk2_pallas(jnp.asarray(x), jnp.asarray(y), interpret=True)
-    ix, dx = l1_topk2_xla(jnp.asarray(x), jnp.asarray(y))
-    np.testing.assert_array_equal(np.asarray(dp), np.asarray(dx))
-    np.testing.assert_array_equal(np.asarray(ip), np.asarray(ix))
+    # small-range values force many distance ties; odd shapes force
+    # padding in every dimension
+    for (X, Y, D) in ((137, 75, 32), (1000, 700, 128), (300, 333, 16)):
+        x = rng.integers(0, 4, size=(X, D)).astype("uint8")
+        y = rng.integers(0, 4, size=(Y, D)).astype("uint8")
+        ip, dp = l2_topk2_fused(jnp.asarray(x), jnp.asarray(y), interpret=True)
+        d = ((x.astype(np.int64)[None] - y.astype(np.int64)[:, None]) ** 2).sum(-1)
+        gi = np.argsort(d, 1, kind="stable")[:, :2]
+        gd = np.sort(d, 1)[:, :2]
+        np.testing.assert_array_equal(np.asarray(dp).astype(np.int64), gd)
+        np.testing.assert_array_equal(np.asarray(ip), gi)
+
+
+def test_pallas_l2_fused_sharded_merge(rng):
+    """Database sharding (databases beyond the VMEM pin) must merge to
+    the same global result."""
+    import jax.numpy as jnp
+
+    import spectavi_tpu.ops.l2nn_pallas as lp
+
+    x = rng.integers(0, 256, size=(1500, 64)).astype("uint8")
+    y = rng.integers(0, 256, size=(200, 64)).astype("uint8")
+    i1, d1 = lp.l2_topk2_fused(jnp.asarray(x), jnp.asarray(y), interpret=True)
+    old = lp._VMEM_DB_BYTES
+    try:
+        lp._VMEM_DB_BYTES = 512 * 64  # force ~3 shards
+        i2, d2 = lp.l2_topk2_fused(jnp.asarray(x), jnp.asarray(y), interpret=True)
+    finally:
+        lp._VMEM_DB_BYTES = old
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
 def test_nn_l2k2_exact(rng):

@@ -113,13 +113,17 @@ def test_two_view_match_cache(tmp_path, rng):
             "find_best_even_in_failure": True,
         },
     )
-    try:
-        run_two_view([p0, p1], kp, outdir=outdir, **opts)
-    except Exception:
-        pass  # tiny scene may fail geometry; the cache must exist anyway
+    result = run_two_view([p0, p1], kp, outdir=outdir, **opts)
+    assert result["points"].shape[1] == 4
+    assert np.isfinite(result["ransac"]["essential"]).all()
     assert os.path.exists(os.path.join(outdir, "cache.npz"))
     data = np.load(os.path.join(outdir, "cache.npz"))
     assert "xd" in data and "yd" in data
+    # second run resumes from the cache (no SIFT/matching) and agrees
+    result2 = run_two_view([p0, p1], kp, outdir=outdir, **opts)
+    np.testing.assert_allclose(
+        result2["ransac"]["essential"], result["ransac"]["essential"]
+    )
 
 
 def test_step4_ba_polish(rng):

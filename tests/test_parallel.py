@@ -64,9 +64,12 @@ def test_two_view_step_matches_single_device(rng):
             svr_allowed=3e-2,
         )
         assert int(out["count"]) == int(count[b])
-        np.testing.assert_allclose(
-            np.asarray(out["essential"]), np.asarray(E[b]), rtol=1e-4, atol=1e-4
-        )
+        # f32 batched-vs-vmapped eigh orderings differ at ~1e-4 rel;
+        # compare directions (E is defined up to scale anyway)
+        Ea = np.asarray(out["essential"]).ravel()
+        Eb = np.asarray(E[b]).ravel()
+        cos = abs(Ea @ Eb) / (np.linalg.norm(Ea) * np.linalg.norm(Eb))
+        assert cos > 1.0 - 1e-6
 
 
 def test_mesh_shapes():
