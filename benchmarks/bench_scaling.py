@@ -1,14 +1,18 @@
-"""Scaling-efficiency proxy on a virtual CPU device mesh.
+"""Sharding-overhead measurement on a virtual CPU device mesh.
 
 Real multi-chip hardware is not available in this image (one tunneled
-chip); this harness measures the *sharding overhead* of the distributed
-paths on forced-host CPU devices: the same total workload is run on 1
-vs N devices, and with compute per device held constant the collective
-overhead bounds the scaling efficiency achievable on ICI (where the
-collectives are strictly faster than on host shared memory).
+chip), and raw weak-scaling walls on N virtual devices sharing 4
+physical cores are dominated by core oversubscription, not by the
+distributed design.  What CAN be measured honestly here is the
+*collective overhead* of the sharded matching path: the same
+``shard_map`` program with and without the ``all_gather`` top-2 merge,
+at constant per-device work.  The ratio bounds the scaling efficiency
+attributable to the framework's communication pattern — on real ICI
+the collectives are strictly faster than this host-shared-memory
+emulation, so the bound is conservative.
 
-Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-       python benchmarks/bench_scaling.py
+Usage: python benchmarks/bench_scaling.py
+(set PYTHONPATH= JAX_PLATFORMS=cpu to detach a wedged TPU tunnel)
 """
 
 import os
@@ -27,46 +31,64 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
 
     jax.config.update("jax_default_device", "cpu")
 
-    from spectavi_tpu.match.bruteforce import l1_topk2_xla
-    from spectavi_tpu.parallel.mesh import host_cpu_mesh
-    from spectavi_tpu.parallel.two_view import sharded_l1_topk2
+    from spectavi_tpu.ops.l2nn import l2_topk_mxu
+    from spectavi_tpu.parallel.mesh import BLOCKS, host_cpu_mesh
+    from spectavi_tpu.parallel.two_view import _merge_block_topk
 
     rng = np.random.default_rng(0)
     D = 128
-    Y = 512
+    Y = 1024
+    per_dev_X = 2048
 
-    def time_fn(fn, *a, reps=3):
+    def time_fn(fn, *a, reps=5):
         out = fn(*a)
         jax.block_until_ready(out)
-        t0 = time.perf_counter()
+        best = float("inf")
         for _ in range(reps):
+            t0 = time.perf_counter()
             out = fn(*a)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / reps
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    # weak scaling: X grows with device count; per-device block constant
-    base_X = 2048
-    y = jnp.asarray(rng.integers(0, 255, (Y, D)).astype(np.int32))
-    x1 = jnp.asarray(rng.integers(0, 255, (base_X, D)).astype(np.int32))
-    t1 = time_fn(lambda a, b: l1_topk2_xla(a, b), x1, y)
+    kernel = lambda xl, yl: l2_topk_mxu(xl, yl, k=2)
 
-    ncores = os.cpu_count() or 1
-    for n in (2, 4, 8):
+    print(f"collective-overhead proxy: {per_dev_X} db rows/device, "
+          f"{Y} queries, top-2 exact L2; host CPU mesh "
+          f"({os.cpu_count()} physical cores — absolute walls are "
+          "oversubscribed, the local/merged ratio is the signal)")
+    for n in (1, 2, 4, 8):
         mesh = host_cpu_mesh(n, n_blocks=n)
-        xn = jnp.asarray(rng.integers(0, 255, (base_X * n, D)).astype(np.int32))
-        tn = time_fn(lambda a, b: sharded_l1_topk2(mesh, a, b), xn, y)
-        # on this host N virtual devices share `ncores` physical cores,
-        # so the zero-overhead weak-scaling floor is ceil(n/ncores) * t1
-        floor = t1 * max(1.0, n / ncores)
+        x = jnp.asarray(
+            rng.integers(0, 256, (per_dev_X * n, D)).astype(np.uint8)
+        )
+        y = jnp.asarray(rng.integers(0, 256, (Y, D)).astype(np.uint8))
+
+        local_fn = jax.jit(shard_map(
+            kernel, mesh=mesh,
+            in_specs=(P(BLOCKS, None), P()),
+            out_specs=(P(BLOCKS, None), P(BLOCKS, None)),
+            check_rep=False,
+        ))
+        merged_fn = jax.jit(shard_map(
+            lambda xl, yl: _merge_block_topk(*kernel(xl, yl), BLOCKS, xl.shape[0]),
+            mesh=mesh,
+            in_specs=(P(BLOCKS, None), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        ))
+        t_local = time_fn(local_fn, x, y)
+        t_merged = time_fn(merged_fn, x, y)
+        eff = t_local / t_merged
         print(
-            f"sharded matching, {n} devices, {base_X * n} db rows: "
-            f"{tn*1e3:.1f} ms (1-dev {t1*1e3:.1f} ms; {ncores}-core "
-            f"oversubscription floor {floor*1e3:.1f} ms) -> "
-            f"raw eff {t1/tn:.2%}, core-corrected {floor/tn:.2%}"
+            f"  {n} device(s): local {t_local*1e3:7.1f} ms | "
+            f"+all_gather merge {t_merged*1e3:7.1f} ms | "
+            f"collective efficiency {eff:6.1%}"
         )
 
 

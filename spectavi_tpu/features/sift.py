@@ -236,10 +236,34 @@ def detect_refine(dog, peak_thresh, edge_thresh, max_kp, n_iter=5):
     """
     Sn, H, W = dog.shape  # Sn = S + 2
     mask = _extrema_mask(dog, peak_thresh)
+    count = mask.sum()  # raw candidate count (may exceed max_kp)
+    # saliency-ordered selection: when candidates exceed the static
+    # budget, keep the strongest |DoG| responses instead of the first
+    # max_kp in raster order (which would bias keypoints to the top of
+    # the image).  The threshold is picked from a log ladder — the
+    # smallest tau whose count fits the budget; tau=0 (keep all) when
+    # everything fits, making the common case bit-identical.
+    strength = jnp.where(mask, jnp.abs(dog[1 : Sn - 1]), 0.0)
+    smax = strength.max()
+    n_lad = 24
+    taus = jnp.concatenate(
+        [smax * 2.0 ** -jnp.arange(0, n_lad, dtype=dog.dtype),
+         jnp.zeros((1,), dog.dtype)]
+    )
+    counts_at = jnp.stack(
+        [(strength > t).sum() for t in taus]
+    )
+    # counts_at is ascending (taus descend to 0); the last rung that
+    # fits wins.  tau=0 keeps every candidate (extrema have |DoG| > 0
+    # strictly), so under-budget octaves are bit-identical to no
+    # thresholding; the ladder only engages to drop the weakest.
+    jbest = jnp.max(jnp.where(counts_at <= max_kp, jnp.arange(n_lad + 1), -1))
+    tau = taus[jnp.maximum(jbest, 0)]
+    mask = mask & (strength > tau)
     flat = mask.reshape(-1)
-    count = flat.sum()
+    kept = flat.sum()
     (cand,) = jnp.nonzero(flat, size=max_kp, fill_value=0)
-    valid = jnp.arange(max_kp) < count
+    valid = jnp.arange(max_kp) < kept
     si = (cand // (H * W)).astype(jnp.int32)  # detection scale 0..S-1
     rem = cand % (H * W)
     yi = (rem // W).astype(jnp.int32)
@@ -532,16 +556,23 @@ def _describe_stage(mod, ang, meta_sel, kval, magnif):
     )
     CH = 1024
     KA = kx.shape[0]
-    descs = []
-    for i in range(0, KA, CH):
-        sl = slice(i, min(i + CH, KA))
-        descs.append(
-            descriptors(
-                mod, ang, kx[sl], ky[sl], ksig[sl], kis[sl], kth[sl], kval[sl],
-                r_de, magnif,
-            )
+    pad = (-KA) % CH
+    padc = lambda a: jnp.pad(a, (0, pad)).reshape(-1, CH)
+    chunks = (
+        padc(kx), padc(ky), padc(ksig), padc(kis), padc(kth),
+        jnp.pad(kval, (0, pad), constant_values=False).reshape(-1, CH),
+    )
+
+    def one(args):
+        cx, cy, cs, ci, ct, cv = args
+        return descriptors(
+            mod, ang, cx, cy, cs, ci.astype(jnp.int32), ct, cv, r_de, magnif
         )
-    return jnp.concatenate(descs, axis=0)
+
+    # lax.map keeps the compiled graph one-chunk-sized (an unrolled
+    # Python loop here multiplied compile time by the chunk count)
+    descs = jax.lax.map(one, chunks)
+    return descs.reshape(-1, 128)[:KA]
 
 
 def _sift_detect_all(im, peak_thresh, edge_thresh, budgets, o_min):
@@ -641,8 +672,8 @@ def sift_filter(
 
             warnings.warn(
                 f"SIFT octave {oi}: {n_candidates} DoG candidates exceed "
-                f"the static budget {budget}; surplus keypoints dropped. "
-                "Raise max_kp_per_octave to keep them.",
+                f"the static budget {budget}; keeping the strongest "
+                "|DoG| responses. Raise max_kp_per_octave to keep more.",
                 stacklevel=2,
             )
         meta = meta[:6]

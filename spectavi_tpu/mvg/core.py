@@ -97,16 +97,112 @@ def cameras_from_svd(U, Vt):
     return P
 
 
-def svd3x3(F):
-    """Batched SVD of ``(..., 3, 3)`` via eigendecomposition of F^T F.
+def eigh3x3_descending(G):
+    """Closed-form eigendecomposition of symmetric ``(..., 3, 3)``.
 
-    ``jnp.linalg.svd`` lowers to a slow iterative kernel on TPU for
-    small batched matrices; symmetric ``eigh`` is several times faster
-    and is exact for our use: ``V`` from ``eigh(F^T F)`` (descending),
-    ``s = sqrt(eigvals)``, ``u_i = F v_i / s_i`` for the two dominant
-    columns, and ``u_2 = u_0 x u_1`` (the essential-matrix spectrum is
-    ``(s, s, 0)``, so the smallest singular vector pair is the only
-    well-separated one and the cross product sidesteps the 0/0).
+    ``jnp.linalg.eigh`` HANGS/CRASHES the TPU worker on this backend
+    (like the LU-based ops), and ``jnp.linalg.svd`` is a slow iterative
+    kernel for small batched matrices — so this is fully closed-form
+    and branch-free:
+
+    * eigenvalues by the trigonometric (Smith) formula;
+    * the eigenvector of the *smallest* eigenvalue from the columns of
+      ``(G - l0 I)(G - l1 I)`` (Cayley-Hamilton: that product is a
+      scaled projector onto the l2-eigenspace) — well-conditioned
+      whenever l2 is separated, which is exactly the essential-matrix
+      spectrum ``(s^2, s^2, 0)``;
+    * the remaining pair by one exact 2x2 Jacobi rotation inside the
+      orthogonal complement — immune to the l0 ~ l1 degeneracy that
+      makes projector-based formulas blow up for essential matrices.
+
+    Returns ``(w, V)`` with eigenvalues descending, ``V`` columns the
+    matching eigenvectors.
+    """
+    dtype = G.dtype
+    q = jnp.trace(G, axis1=-2, axis2=-1) / 3.0
+    I = jnp.eye(3, dtype=dtype)
+    B = G - q[..., None, None] * I
+    p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 0.0))
+    p_safe = jnp.where(p > 0, p, 1.0)
+    detB = (
+        B[..., 0, 0] * (B[..., 1, 1] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 1])
+        - B[..., 0, 1] * (B[..., 1, 0] * B[..., 2, 2] - B[..., 1, 2] * B[..., 2, 0])
+        + B[..., 0, 2] * (B[..., 1, 0] * B[..., 2, 1] - B[..., 1, 1] * B[..., 2, 0])
+    )
+    r = jnp.clip(detB / (2.0 * p_safe**3), -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    l0 = q + 2.0 * p * jnp.cos(phi)
+    l2 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    l1 = 3.0 * q - l0 - l2
+
+    # Anchor the eigenvector with the best-separated eigenvalue: the
+    # Cayley-Hamilton projector (G - lb)(G - lc) has columns spanning
+    # the la-eigenspace, and is only well-conditioned when la is
+    # separated from {lb, lc}.  Essential matrices degenerate the TOP
+    # pair (s^2, s^2, 0) -> anchor l2; rank-1 matrices degenerate the
+    # BOTTOM pair (s^2, 0, 0) -> anchor l0.  Branch-free select.
+    anchor_low = (l1 - l2) >= (l0 - l1)
+    la = jnp.where(anchor_low, l2, l0)
+    lb = jnp.where(anchor_low, l0, l1)
+    lc = jnp.where(anchor_low, l1, l2)
+    P = (G - lb[..., None, None] * I) @ (G - lc[..., None, None] * I)
+    norms = jnp.sum(P * P, axis=-2)  # (..., 3) column norms^2
+    ci = jnp.argmax(norms, axis=-1)
+    va = jnp.take_along_axis(P, ci[..., None, None], axis=-1)[..., 0]
+    na = jnp.linalg.norm(va, axis=-1, keepdims=True)
+    # G ~ qI: any unit vector is an eigenvector
+    va = jnp.where(na > 1e-30, va / jnp.maximum(na, 1e-30),
+                   jnp.array([0.0, 0.0, 1.0], dtype))
+
+    # orthonormal completion {a, b} of va's complement (branch-free
+    # pick of the axis least aligned with va)
+    ex = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype), va.shape)
+    ey = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], dtype), va.shape)
+    e = jnp.where(jnp.abs(va[..., 0:1]) < 0.9, ex, ey)
+    a = jnp.cross(va, e)
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-30)
+    b = jnp.cross(va, a)
+
+    # exact Jacobi rotation diagonalizing the 2x2 restriction of G
+    Ga = jnp.einsum("...ij,...j->...i", G, a)
+    Gb = jnp.einsum("...ij,...j->...i", G, b)
+    al = jnp.sum(a * Ga, axis=-1)
+    be = jnp.sum(b * Gb, axis=-1)
+    ga = jnp.sum(a * Gb, axis=-1)
+    th = 0.5 * jnp.arctan2(2.0 * ga, al - be)
+    c, s = jnp.cos(th), jnp.sin(th)
+    u = c[..., None] * a + s[..., None] * b
+    w_ = -s[..., None] * a + c[..., None] * b
+    lu = al * c**2 + 2 * ga * c * s + be * s**2
+    lw = al * s**2 - 2 * ga * c * s + be * c**2
+    swap = lw > lu
+    vhi = jnp.where(swap[..., None], w_, u)   # larger of the pair
+    vlo = jnp.where(swap[..., None], u, w_)
+    whi = jnp.where(swap, lw, lu)
+    wlo = jnp.where(swap, lu, lw)
+
+    # assemble in descending order for both anchor choices
+    alow = anchor_low[..., None]
+    v0 = jnp.where(alow, vhi, va)
+    v1 = jnp.where(alow, vlo, vhi)
+    v2 = jnp.where(alow, va, vlo)
+    w0 = jnp.where(anchor_low, whi, la)
+    w1 = jnp.where(anchor_low, wlo, whi)
+    w2 = jnp.where(anchor_low, la, wlo)
+    V = jnp.stack([v0, v1, v2], axis=-1)
+    w = jnp.stack([w0, w1, w2], axis=-1)
+    return w, V
+
+
+def svd3x3(F):
+    """Batched SVD of ``(..., 3, 3)`` via the closed-form
+    eigendecomposition of F^T F (:func:`eigh3x3_descending` — both
+    ``jnp.linalg.svd`` and ``jnp.linalg.eigh`` are unusable for small
+    batched matrices on this TPU backend, slow and worker-crashing
+    respectively): ``s = sqrt(eigvals)``, ``u_i = F v_i / s_i`` for
+    the two dominant columns, ``u_2 = u_0 x u_1`` sign-fixed against
+    ``F v_2``.
 
     Returns ``(U, s, Vt)`` with ``s`` descending — same contract as
     ``jnp.linalg.svd`` up to column-sign/degenerate-subspace choices,
@@ -114,21 +210,32 @@ def svd3x3(F):
     gates; ``cameras_from_svd`` enumerates the sign ambiguities).
     """
     G = jnp.swapaxes(F, -1, -2) @ F
-    w, V = jnp.linalg.eigh(G)  # ascending
-    w = w[..., ::-1]
-    V = V[..., ::-1]
+    w, V = eigh3x3_descending(G)
     s = jnp.sqrt(jnp.maximum(w, 0.0))
     FV = F @ V
+    dtype = F.dtype
     u0 = FV[..., :, 0] / jnp.maximum(s[..., 0:1], 1e-30)
+    n0 = jnp.linalg.norm(u0, axis=-1, keepdims=True)
+    # rank-0 F: any orthonormal U is a valid factor
+    u0 = jnp.where(n0 > 1e-20, u0 / jnp.maximum(n0, 1e-30),
+                   jnp.array([1.0, 0.0, 0.0], dtype))
     u1 = FV[..., :, 1] / jnp.maximum(s[..., 1:2], 1e-30)
     # re-orthonormalize u1 against u0 (guards the degenerate pair)
     u1 = u1 - jnp.sum(u0 * u1, axis=-1, keepdims=True) * u0
-    u1 = u1 / jnp.maximum(
-        jnp.linalg.norm(u1, axis=-1, keepdims=True), 1e-30
+    n1 = jnp.linalg.norm(u1, axis=-1, keepdims=True)
+    # rank<=1 F: F v1 is parallel to u0 and the projection above is
+    # pure cancellation noise — gate on s1 itself and complete with an
+    # axis not aligned with u0 instead
+    ex = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], dtype), u0.shape)
+    ey = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype), u0.shape)
+    fill = jnp.where(jnp.abs(u0[..., 1:2]) < 0.9, ex, ey)
+    fill = fill - jnp.sum(u0 * fill, axis=-1, keepdims=True) * u0
+    fill = fill / jnp.maximum(
+        jnp.linalg.norm(fill, axis=-1, keepdims=True), 1e-30
     )
-    u0 = u0 / jnp.maximum(
-        jnp.linalg.norm(u0, axis=-1, keepdims=True), 1e-30
-    )
+    eps1 = 100.0 * jnp.finfo(dtype).eps
+    ok1 = s[..., 1:2] > eps1 * jnp.maximum(s[..., 0:1], 1e-30)
+    u1 = jnp.where(ok1, u1 / jnp.maximum(n1, 1e-30), fill)
     u2 = jnp.cross(u0, u1)
     # sign: the true third left vector satisfies F v2 = s2 u2; for the
     # essential spectrum s2 ~ 0 either sign is a valid SVD

@@ -15,11 +15,11 @@ well under a second warm).  Deterministic given the key — which also
 fixes the reference's unseeded-RNG flakiness.
 
 TPU-specific linear algebra: hypothesis scoring decomposes F with
-:func:`spectavi_tpu.mvg.core.svd3x3` (eigh-based — ``jnp.linalg.svd``
-is an order of magnitude slower for small batched matrices on TPU),
-and the LO-RANSAC 8-point refit solves the 9x9 normal equations with
-``eigh`` in f64 instead of a tall SVD with ``full_matrices=True``
-(which would build an N x N basis).
+:func:`spectavi_tpu.mvg.core.svd3x3` (closed-form —
+``jnp.linalg.svd`` is a slow iterative kernel for small batched
+matrices on TPU and ``jnp.linalg.eigh`` crashes the worker outright),
+and the LO-RANSAC 8-point refit uses a thin SVD instead of
+``full_matrices=True`` (which would build an N x N basis).
 
 Semantics parity (same gates as reference ``process_fundamental_matrix``,
 ``src/RansacFitter.h:42-98``):
@@ -157,7 +157,7 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed, poin
     if point_mask is None:
         point_mask = jnp.ones(N, dtype=bool)
     sample = _sample_subsets(key, N, trials, point_mask)
-    F, valid = seven_point(x0[sample], x1[sample])  # (T,3,3,3), (T,3)
+    F, valid = seven_point(x0[sample], x1[sample], nullspace="mgs")
     counts = _score_hypotheses(
         F, valid, x0, x1, point_mask, reproj_allowed, svr_allowed
     )
@@ -180,19 +180,52 @@ ransac_essential_batch = partial(jax.jit, static_argnames=("trials",))(
 )
 
 
-def _lo_refine_step(x0, x1, weights, reproj_allowed, point_mask):
+def _cg_solve9(G, b, iters=16):
+    """Solve ``G x = b`` for 9x9 SPD ``G`` by unrolled conjugate
+    gradient — pure vector ops, no LAPACK, no scalar-graph explosion
+    (both of which stall/crash this TPU backend's compiler)."""
+    x = jnp.zeros_like(b)
+    r = b
+    p = b
+    rs = jnp.dot(r, r)
+    for _ in range(iters):
+        Ap = G @ p
+        alpha = rs / jnp.maximum(jnp.dot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.dot(r, r)
+        p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
+        rs = rs_new
+    return x
+
+
+def _lo_refine_step(x0, x1, weights, reproj_allowed, point_mask, F_init):
     """One LO-RANSAC step: weighted 8-point refit on the current
-    inliers via the 9x9 normal equations (f64 eigh — a tall SVD with
-    ``full_matrices=True`` would build an N x N basis), projection to
-    an essential matrix, camera re-selection, full re-score."""
+    inliers, projection to an essential matrix, camera re-selection,
+    full re-score.
+
+    The smallest singular direction of the weighted constraint matrix
+    comes from ridged inverse iteration on ``G = A^T A`` with an
+    unrolled-CG inner solve (no LAPACK: ``svd``/``eigh`` here either
+    stall this TPU backend's compiler for minutes or crash the worker;
+    see ``sevenpoint.nullspace2_mgs`` for the same story), warm-started
+    from the current RANSAC winner ``F_init`` so 2 iterations converge
+    far below the inlier noise floor.
+    """
     u, v = x0[:, 0], x0[:, 1]
     up, vp = x1[:, 0], x1[:, 1]
     one = jnp.ones_like(u)
     A = jnp.stack([up * u, up * v, up, vp * u, vp * v, vp, u, v, one], axis=-1)
     A = A * weights[:, None]
-    G = (jnp.swapaxes(A, 0, 1) @ A)
-    _, V = jnp.linalg.eigh(G)  # ascending: column 0 = null direction
-    F = V[:, 0].reshape(3, 3).astype(x0.dtype)
+    G = jnp.swapaxes(A, 0, 1) @ A
+    G = G / jnp.maximum(jnp.trace(G), 1e-30)
+    G = G + (100.0 * jnp.finfo(x0.dtype).eps) * jnp.eye(9, dtype=x0.dtype)
+    f = F_init.reshape(9)
+    f = f / jnp.maximum(jnp.linalg.norm(f), 1e-30)
+    for _ in range(2):
+        f = _cg_solve9(G, f)
+        f = f / jnp.maximum(jnp.linalg.norm(f), 1e-30)
+    F = f.reshape(3, 3)
     U3, S3, Vt3 = svd3x3(F)
     E = U3 @ jnp.diag(jnp.array([1.0, 1.0, 0.0], F.dtype)) @ Vt3
     P1 = cameras_from_svd(U3, Vt3)  # (4, 3, 4)
@@ -207,119 +240,90 @@ def _lo_refine_step(x0, x1, weights, reproj_allowed, point_mask):
 
 
 @partial(jax.jit, static_argnames=("batch_trials", "lo_iters"))
-def ransac_fit_device(
+def ransac_fit_block(
     key,
     x0,
     x1,
     point_mask,
     reproj_allowed,
     svr_allowed,
-    required_count,
-    max_tries,
-    confidence,
-    batch_trials=512,
-    lo_iters=4,
+    live_trials,
+    batch_trials=2048,
+    lo_iters=3,
 ):
-    """The full RANSAC fit as one device program.
+    """One RANSAC mega-batch + winner re-score + fused LO refinement as
+    a single straight-line device program.
 
-    ``lax.while_loop`` over ``batch_trials``-sized batches with the
-    batched analogue of the reference's first-success short-circuit
-    (``src/RansacFitter.h:185-187``): stop when the required count is
-    reached, when ``max_tries`` trials have been drawn (honoured
-    exactly — no silent cap), or when enough trials have run for
-    ``confidence`` odds of having sampled an all-inlier 7-subset at
-    the observed inlier rate.  Then the winner is re-scored and
-    LO-refined, all without leaving the device.
+    Deliberately contains NO ``while_loop`` and NO LAPACK calls: on
+    this machine's TPU backend ``linalg.eigh`` crashes the worker,
+    ``linalg.svd`` compiles for minutes, and loop-wrapped versions of
+    either stall the remote compiler beyond 10 minutes even at tiny
+    shapes.  Everything inside is closed-form/vectorized (MGS 7-point
+    null spaces, ``svd3x3``, unrolled-CG inverse iteration for the LO
+    8-point).  The host drives the adaptive/confidence loop around
+    this block — typically ONE call, so one dispatch + one result pull
+    per fit.
 
-    Returns ``(essential, camera, count, inlier_mask, tries)``;
-    ``count`` is -1 when every hypothesis failed the gate.
+    ``live_trials``: number of leading trials allowed to win (the
+    remainder are masked) — this is how ``maximum_tries`` is honoured
+    exactly without recompiling for the final partial batch.
+
+    Returns ``(essential, camera, count, inlier_mask)``; ``count`` is
+    -1 when every hypothesis failed the gate.
     """
     N = x0.shape[0]
-    n_real = point_mask.sum()
-
-    def needed_tries(best_count):
-        w = jnp.clip(best_count.astype(x0.dtype) / n_real, 0.0, 1.0)
-        p_good = jnp.clip(w**7, 1e-30, 1.0 - 1e-12)
-        return jnp.log1p(-confidence + 0.0) / jnp.log1p(-p_good)
-
-    def cond(carry):
-        key, tries, best_count, bestF = carry
-        not_enough = best_count < required_count
-        under_max = tries < max_tries
-        under_conf = tries.astype(x0.dtype) < needed_tries(best_count)
-        return under_max & not_enough & under_conf
-
-    def body(carry):
-        key, tries, best_count, bestF = carry
-        key, sub = jax.random.split(key)
-        sample = _sample_subsets(sub, N, batch_trials, point_mask)
-        F, valid = seven_point(x0[sample], x1[sample])
-        # mask trials beyond max_tries so they cannot win
-        live = jnp.arange(batch_trials) < (max_tries - tries)
-        counts = _score_hypotheses(
-            F, valid & live[:, None], x0, x1, point_mask,
-            reproj_allowed, svr_allowed,
-        )
-        flat = counts.reshape(-1)
-        b = jnp.argmax(flat)
-        it, ir = jnp.unravel_index(b, counts.shape)
-        better = flat[b] > best_count
-        best_count = jnp.where(better, flat[b], best_count)
-        bestF = jnp.where(better, F[it, ir], bestF)
-        tries = tries + jnp.minimum(batch_trials, max_tries - tries)
-        return key, tries, best_count, bestF
-
-    key0 = key
-    init = (key0, jnp.int64(0) if max_tries.dtype == jnp.int64 else jnp.int32(0),
-            jnp.int32(-1), jnp.zeros((3, 3), x0.dtype))
-    key, tries, best_count, bestF = jax.lax.while_loop(cond, body, init)
+    sample = _sample_subsets(key, N, batch_trials, point_mask)
+    F, valid = seven_point(x0[sample], x1[sample], nullspace="mgs")
+    live = jnp.arange(batch_trials) < live_trials
+    counts = _score_hypotheses(
+        F, valid & live[:, None], x0, x1, point_mask,
+        reproj_allowed, svr_allowed,
+    )
+    flat = counts.reshape(-1)
+    b = jnp.argmax(flat)
+    it, ir = jnp.unravel_index(b, counts.shape)
+    ok = flat[b] >= 0
+    essential = F[it, ir]
 
     camera, count, mask = _rescore_best(
-        bestF, x0, x1, point_mask, reproj_allowed
+        essential, x0, x1, point_mask, reproj_allowed
     )
-    ok = best_count >= 0
     count = jnp.where(ok, count, -1)
     mask = mask & ok
-    essential = bestF
 
     # fused LO-RANSAC: refine while it improves, up to lo_iters
-    def lo_cond(carry):
-        it, improved, E, P, c, m = carry
-        return (it < lo_iters) & improved & (c >= 8)
-
-    def lo_body(carry):
-        it, improved, E, P, c, m = carry
+    # (unrolled with where-guards)
+    improved = ok
+    for _ in range(lo_iters):
         E2, P2, c2, m2 = _lo_refine_step(
-            x0, x1, m.astype(x0.dtype), reproj_allowed, point_mask
+            x0, x1, mask.astype(x0.dtype), reproj_allowed, point_mask,
+            essential,
         )
-        better = c2 > c
-        return (
-            it + 1,
-            better,
-            jnp.where(better, E2, E),
-            jnp.where(better, P2, P),
-            jnp.where(better, c2, c),
-            jnp.where(better, m2, m),
-        )
-
-    it0 = jnp.int32(0)
-    _, _, essential, camera, count, mask = jax.lax.while_loop(
-        lo_cond, lo_body, (it0, ok, essential, camera, count, mask)
-    )
-    return essential, camera, count, mask, tries
+        better = improved & (count >= 8) & (c2 > count)
+        essential = jnp.where(better, E2, essential)
+        camera = jnp.where(better, P2, camera)
+        count = jnp.where(better, c2, count)
+        mask = jnp.where(better, m2, mask)
+        improved = better
+    return essential, camera, count, mask
 
 
-def ransac_fitter(x0, x1, options=None, key=None, batch_trials=512, confidence=0.999):
+def ransac_fitter(x0, x1, options=None, key=None, batch_trials=2048, confidence=0.999):
     """Fit a two-view essential matrix to tentative correspondences.
 
     API parity with ``spectavi.mvg.ransac_fitter`` (reference
     ``spectavi/mvg.py:138-221``): same options dict, same return dict
     (``success``, ``essential``, ``camera``, ``inlier_percent``,
     ``inlier_idx``).  Extra ``key`` argument makes the fit
-    deterministic.  ``maximum_tries`` is honoured exactly by the
-    device loop; termination additionally uses the standard adaptive
-    confidence bound (a strict improvement on the reference, which
-    only stops early on first success).
+    deterministic.  The host loops :func:`ransac_fit_block` mega-batch
+    programs, keeping the best block result; it stops when the
+    required count is reached (the batched analogue of the reference's
+    first-success short-circuit, ``src/RansacFitter.h:185-187``), when
+    ``maximum_tries`` trials have been drawn (honoured exactly via
+    live-trial masking — no silent cap), or when enough trials have
+    run for ``confidence`` odds of having sampled an all-inlier
+    7-subset at the observed inlier rate.  The typical fit is ONE
+    block call — one device dispatch + one result pull.
     """
     opts = dict(DEFAULT_OPTIONS)
     if options:
@@ -348,22 +352,41 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=512, confidence=0
     x0j = jnp.asarray(np.pad(x0, ((0, Np - N), (0, 0))))
     x1j = jnp.asarray(np.pad(x1, ((0, Np - N), (0, 0))))
 
-    lo_iters = 4 if opts.get("local_optimization", True) else 0
+    lo_iters = 3 if opts.get("local_optimization", True) else 0
     required_count = int(np.ceil(required * N))
-    essential, camera, count, mask, tries = ransac_fit_device(
-        key,
-        x0j,
-        x1j,
-        jnp.asarray(pmask),
-        jnp.asarray(opts["reprojection_error_allowed"], x0j.dtype),
-        jnp.asarray(opts["singular_value_ratio_allowed"], x0j.dtype),
-        jnp.asarray(required_count, jnp.int32),
-        jnp.asarray(max_tries, jnp.int32),
-        jnp.asarray(confidence, x0j.dtype),
-        batch_trials=batch_trials,
-        lo_iters=lo_iters,
-    )
-    best_count = int(count)
+    pmask_j = jnp.asarray(pmask)
+    reproj_j = jnp.asarray(opts["reprojection_error_allowed"], x0j.dtype)
+    svr_j = jnp.asarray(opts["singular_value_ratio_allowed"], x0j.dtype)
+
+    best = None
+    best_count = -1
+    tries = 0
+    while tries < max_tries:
+        live = min(batch_trials, max_tries - tries)
+        key, sub = jax.random.split(key)
+        out = ransac_fit_block(
+            sub, x0j, x1j, pmask_j, reproj_j, svr_j,
+            jnp.asarray(live, jnp.int32),
+            batch_trials=batch_trials,
+            lo_iters=lo_iters,
+        )
+        count = int(out[2])
+        if count > best_count:
+            best_count = count
+            best = out
+        tries += live
+        if best_count >= required_count:
+            break
+        # adaptive termination: enough trials for `confidence` odds of
+        # an all-inlier 7-subset at the observed inlier rate
+        w = max(best_count, 0) / N
+        if w > 0:
+            needed = np.log(1.0 - confidence) / np.log1p(
+                -min(w**7, 1.0 - 1e-12)
+            )
+            if tries >= needed:
+                break
+    essential, camera, _, mask = best
 
     if best_count < 0:
         # every trial failed the SVR/validity gate: no model was ever

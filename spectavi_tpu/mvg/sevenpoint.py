@@ -102,13 +102,57 @@ def _det_cubic_coeffs(F0, F1):
     return a, b, c, d
 
 
-def seven_point(x, xp):
+def nullspace2_mgs(A):
+    """Two-vector null-space basis of batched ``(..., 7, 9)`` systems,
+    LAPACK-free.
+
+    Modified Gram-Schmidt orthonormalizes the 7 constraint rows, then
+    the null basis is extracted from the complement projector
+    ``P = I - Q Q^T`` (rank 2): its strongest column, and the
+    strongest remaining column re-orthogonalized against it.  Exists
+    because ``jnp.linalg.svd`` inside ``lax.while_loop`` stalls this
+    machine's TPU compiler for tens of minutes (and ``eigh`` crashes
+    the worker outright) — the whole-fit device RANSAC loop needs a
+    closed-form path.
+    """
+    dtype = A.dtype
+    qs = []
+    for i in range(7):
+        v = A[..., i, :]
+        for q in qs:
+            v = v - jnp.sum(q * v, axis=-1, keepdims=True) * q
+        # second MGS pass stabilizes near-dependent rows
+        for q in qs:
+            v = v - jnp.sum(q * v, axis=-1, keepdims=True) * q
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        # degenerate sample (dependent constraints): contribute nothing
+        qs.append(jnp.where(n > 1e-25, v / jnp.maximum(n, 1e-30), 0.0))
+    Q = jnp.stack(qs, axis=-2)  # (..., 7, 9)
+    P = jnp.eye(9, dtype=dtype) - jnp.einsum("...ki,...kj->...ij", Q, Q)
+    norms = jnp.sum(P * P, axis=-2)  # (..., 9) column strengths
+    c0 = jnp.argmax(norms, axis=-1)
+    v0 = jnp.take_along_axis(P, c0[..., None, None], axis=-1)[..., 0]
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0, axis=-1, keepdims=True), 1e-30)
+    P1 = P - v0[..., :, None] * v0[..., None, :]
+    norms1 = jnp.sum(P1 * P1, axis=-2)
+    c1 = jnp.argmax(norms1, axis=-1)
+    v1 = jnp.take_along_axis(P1, c1[..., None, None], axis=-1)[..., 0]
+    v1 = v1 - jnp.sum(v0 * v1, axis=-1, keepdims=True) * v0
+    v1 = v1 / jnp.maximum(jnp.linalg.norm(v1, axis=-1, keepdims=True), 1e-30)
+    return v0, v1
+
+
+def seven_point(x, xp, nullspace="svd"):
     """Batched 7-point algorithm.
 
     Parameters
     ----------
     x, xp : ``(..., 7, 2)``
         Euclidean point correspondences.
+    nullspace : ``"svd"`` (reference-faithful, LAPACK) or ``"mgs"``
+        (closed-form :func:`nullspace2_mgs` — required inside device
+        loops on this TPU backend; any null-space basis spans the same
+        F pencil, so the recovered roots agree).
 
     Returns
     -------
@@ -125,9 +169,14 @@ def seven_point(x, xp):
     A = jnp.stack(
         [up * u, up * v, up, vp * u, vp * v, vp, u, v, one], axis=-1
     )  # (..., 7, 9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F0 = Vt[..., 7, :].reshape(*Vt.shape[:-2], 3, 3)
-    F1 = Vt[..., 8, :].reshape(*Vt.shape[:-2], 3, 3)
+    if nullspace == "mgs":
+        n0, n1 = nullspace2_mgs(A)
+        F0 = n0.reshape(*n0.shape[:-1], 3, 3)
+        F1 = n1.reshape(*n1.shape[:-1], 3, 3)
+    else:
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+        F0 = Vt[..., 7, :].reshape(*Vt.shape[:-2], 3, 3)
+        F1 = Vt[..., 8, :].reshape(*Vt.shape[:-2], 3, 3)
 
     a, b, c, d = _det_cubic_coeffs(F0, F1)
     degenerate = jnp.abs(a) < _EPS

@@ -7,6 +7,13 @@ axis — each device computes exact top-2 neighbours against its local
 block, then the partial top-2 lists are merged with an ``all_gather``
 over ICI (the collective analogue of the reference's per-shard HNSW
 merge, ``src/Hnswlib.h:68-93``).
+
+The two-view step has full pipeline parity with the single-chip path
+(``pipeline/two_view.py::step2_match_keypoints`` + ``step3``): the
+inverted-Lowe ratio test runs on device as a static-shape point mask
+(failing queries are weighted out of RANSAC sampling and scoring
+instead of being compacted away), matching uses the L2 fast path, and
+per-pair inlier masks are returned so hosts can triangulate.
 """
 
 from __future__ import annotations
@@ -22,6 +29,23 @@ from jax.experimental.shard_map import shard_map
 from spectavi_tpu.match.bruteforce import l1_topk2_xla
 from spectavi_tpu.mvg.ransac import ransac_essential_core
 from spectavi_tpu.parallel.mesh import BLOCKS, PAIRS
+
+
+def _mesh_platform(mesh):
+    return next(iter(mesh.devices.flat)).platform
+
+
+def _l2_kernel_for(mesh):
+    """Exact L2 top-2 kernel for this mesh's devices: the fused Pallas
+    kernel on TPU meshes, the portable XLA path elsewhere (virtual CPU
+    meshes in tests).  Identical outputs either way."""
+    if _mesh_platform(mesh) == "tpu":
+        from spectavi_tpu.ops.l2nn_pallas import l2_topk2_fused
+
+        return l2_topk2_fused
+    from spectavi_tpu.ops.l2nn import l2_topk_mxu
+
+    return lambda x, y: l2_topk_mxu(x, y, k=2)
 
 
 def _merge_block_topk(idx, dist, axis_name, block_rows):
@@ -51,9 +75,7 @@ def sharded_l2_topk2(mesh, x, y):
     """Exact top-2 squared-L2 matching (MXU fast path) with the
     database sharded over ``blocks``; same contract as
     :func:`sharded_l1_topk2`."""
-    from spectavi_tpu.ops.l2nn import l2_topk2
-
-    return _sharded_topk2(mesh, x, y, l2_topk2)
+    return _sharded_topk2(mesh, x, y, _l2_kernel_for(mesh))
 
 
 def _sharded_topk2(mesh, x, y, kernel):
@@ -71,35 +93,49 @@ def _sharded_topk2(mesh, x, y, kernel):
     return fn(x, y)
 
 
-def make_two_view_step(mesh, trials=32, reproj_allowed=1e-3, svr_allowed=3e-2):
+def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, min_ratio=1.75):
     """Build the jitted multi-chip two-view "training step".
 
     Input: a batch of image pairs, sharded ``pairs`` x ``blocks``:
 
-    * ``desc0 (B, X, D)`` int32 descriptors of image 0 (the database),
+    * ``desc0 (B, X, D)`` uint8 descriptors of image 0 (the database),
       sharded ``(pairs, blocks)``;
-    * ``desc1 (B, Y, D)`` descriptors of image 1 (queries), sharded
-      ``(pairs,)``;
+    * ``desc1 (B, Y, D)`` uint8 descriptors of image 1 (queries),
+      sharded ``(pairs,)``;
     * ``pts0 (B, X, 2)``, ``pts1 (B, Y, 2)`` calibrated euclidean
       keypoint coordinates, sharded ``(pairs,)``;
     * ``keys (B, 2)`` uint32 PRNG keys, sharded ``(pairs,)``.
 
-    Per pair: sharded top-2 matching (all_gather merge over ICI) ->
-    ratio-weighted correspondences -> batched RANSAC -> per-pair
-    essential matrix, camera, inlier count.
+    Per pair: sharded exact top-2 L2 matching (all_gather merge over
+    ICI) -> on-device inverted-Lowe ratio test (``d2/d1 >= min_ratio^2``
+    on squared distances — the single-chip pipeline's test on L2
+    distances; failing queries become a static-shape point mask) ->
+    batched RANSAC over the masked correspondences.
+
+    Returns per-pair ``(essential (B,3,3), camera (B,3,4),
+    count (B,), inlier_mask (B, Y))`` — enough for hosts to
+    triangulate exactly like the single-chip pipeline.
     """
+    kernel = _l2_kernel_for(mesh)
 
     def per_pair(desc0, desc1, pts0, pts1, key):
-        idx, dist = l1_topk2_xla(desc0, desc1)
+        idx, dist = kernel(desc0, desc1)
         idx, dist = _merge_block_topk(idx, dist, BLOCKS, desc0.shape[0])
-        # correspondences: every query with its top-1 match (static
-        # shape; the host pipeline applies the ratio test instead)
+        # inverted-Lowe ratio test on squared L2 distances
+        d1 = jnp.maximum(dist[:, 0].astype(pts0.dtype), 1e-12)
+        ratio_ok = dist[:, 1].astype(pts0.dtype) >= (min_ratio**2) * d1
         x0 = pts0[idx[:, 0]]
         x1 = pts1
         out = ransac_essential_core(
-            key, x0, x1, trials, reproj_allowed, svr_allowed
+            key, x0, x1, trials, reproj_allowed, svr_allowed,
+            point_mask=ratio_ok,
         )
-        return out["essential"], out["camera"], out["count"]
+        return (
+            out["essential"],
+            out["camera"],
+            out["count"],
+            out["inlier_mask"],
+        )
 
     def stepfn(desc0, desc1, pts0, pts1, keys):
         return jax.vmap(per_pair)(desc0, desc1, pts0, pts1, keys)
@@ -114,7 +150,7 @@ def make_two_view_step(mesh, trials=32, reproj_allowed=1e-3, svr_allowed=3e-2):
             P(PAIRS, None, None),
             P(PAIRS, None),
         ),
-        out_specs=(P(PAIRS), P(PAIRS), P(PAIRS)),
+        out_specs=(P(PAIRS), P(PAIRS), P(PAIRS), P(PAIRS)),
         check_rep=False,
     )
     return jax.jit(sharded)
