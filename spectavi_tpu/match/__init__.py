@@ -15,4 +15,5 @@ from spectavi_tpu.match.bruteforce import (  # noqa: F401
     nn_l2k2,
 )
 from spectavi_tpu.match.cascade_hash import nn_cascading_hash  # noqa: F401
+from spectavi_tpu.match.ivf import nn_ivf  # noqa: F401
 from spectavi_tpu.match.kmedians import kmedians, nn_kmedians  # noqa: F401

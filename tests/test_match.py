@@ -191,3 +191,37 @@ def test_nn_bruteforce_use_int(rng):
     assert np.array_equal(nni.astype(np.int64), gi)
     assert np.array_equal(nnd.astype(np.int64), gd)
     assert nnd.dtype == np.int32
+
+
+def test_nn_ivf_recall_within_budget(rng):
+    """IVF must beat the reference's own approximate-matcher budget
+    (hnswlib: <=30% of matches may differ, test/test_feature.py:49-65)
+    on SIFT-like clustered data; with default probes it is far above."""
+    from spectavi_tpu.match.ivf import nn_ivf
+
+    base = rng.uniform(0, 255, (300, 64))
+    x = (base[rng.integers(0, 300, 4000)] + rng.normal(0, 10, (4000, 64))).astype(
+        "float32"
+    )
+    y = (base[rng.integers(0, 300, 1000)] + rng.normal(0, 10, (1000, 64))).astype(
+        "float32"
+    )
+    nni, nnd = nn_ivf(x, y, k=2)
+    gt = brute_force_nn_batched(x, y, 2)
+    diff = np.sum(np.abs(gt.astype(np.int64) - nni.astype(np.int64)) > 0)
+    assert diff <= 2 * round(0.3 * 1000)
+    # distances ascending and populated
+    assert np.isfinite(nnd).all()
+    assert np.all(nnd[:, 0] <= nnd[:, 1])
+
+
+def test_nn_ivf_exact_within_probed_cells(rng):
+    """With n_probe == n_cells the search is exhaustive and must agree
+    with the exact oracle (IVF's approximation is only cell pruning)."""
+    from spectavi_tpu.match.ivf import nn_ivf
+
+    x = rng.standard_normal((500, 32)).astype("float32")
+    y = rng.standard_normal((200, 32)).astype("float32")
+    nni, _ = nn_ivf(x, y, k=2, n_cells=16, n_probe=16)
+    gt = brute_force_nn_batched(x, y, 2)
+    assert np.array_equal(nni.astype(np.int64), gt)
