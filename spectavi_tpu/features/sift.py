@@ -59,33 +59,43 @@ def _gaussian_kernel(sigma):
     xs = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-(xs**2) / (2.0 * sigma * sigma))
     k /= k.sum()
-    return jnp.asarray(k, dtype=jnp.float32)
+    return k.astype(np.float32)
 
 
 def _blur(im, sigma):
     """Separable Gaussian blur with replicate padding (vlfeat's
-    PAD_BY_CONTINUITY convolution)."""
+    PAD_BY_CONTINUITY convolution).
+
+    The row pass is a lane-dimension conv.  The column pass is a sum of
+    statically shifted row slices: expressing it as a spatial conv with
+    a width-1 lane dim makes XLA (TPU) pick a space-to-depth layout
+    whose padding explodes 128x under vmap — 2.9 GB per level on a
+    castle-size image — while the shifted-slice sum keeps the natural
+    ``(H, W)`` lanes-on-W layout and fuses into one VPU loop.
+    """
     if sigma < 1e-8:
         return im
     k = _gaussian_kernel(sigma)
     r = (k.shape[0] - 1) // 2
-    # rows
+    # rows (along W)
     p = jnp.pad(im, ((0, 0), (r, r)), mode="edge")
+    # HIGHEST precision: the TPU default runs convs through bf16 MXU
+    # passes, and DoG extremum detection thresholds tiny differences of
+    # blurred images — bf16 blur changes the detected keypoint SET
     im = jax.lax.conv_general_dilated(
         p[None, None, :, :],
-        k[None, None, None, :],
+        jnp.asarray(k)[None, None, None, :],
         (1, 1),
         "VALID",
+        precision=jax.lax.Precision.HIGHEST,
     )[0, 0]
-    # cols
+    # cols (along H)
     p = jnp.pad(im, ((r, r), (0, 0)), mode="edge")
-    im = jax.lax.conv_general_dilated(
-        p[None, None, :, :],
-        k[None, None, :, None],
-        (1, 1),
-        "VALID",
-    )[0, 0]
-    return im
+    H = im.shape[0]
+    acc = float(k[0]) * jax.lax.slice_in_dim(p, 0, H, axis=0)
+    for d in range(1, 2 * r + 1):
+        acc = acc + float(k[d]) * jax.lax.slice_in_dim(p, d, d + H, axis=0)
+    return acc
 
 
 def _upsample2(im):
@@ -110,13 +120,9 @@ def num_octaves(height, width, o_min=-1):
     return max(int(np.floor(np.log2(min(width, height)))) - o_min - 3, 1)
 
 
-@jax.jit
-def _octave_levels(first):
-    """All levels of one octave from its first level, as ONE jitted
-    graph (the per-level incremental sigmas are static constants), so a
-    whole octave costs a single compilation per image shape instead of
-    ~14 eager conv compiles — important on this machine's high-latency
-    remote-compile tunnel."""
+def _octave_levels_core(first):
+    """All levels of one octave from its first level (the per-level
+    incremental sigmas are static constants)."""
     levels = [first]
     for s in range(S_MIN + 1, S_MAX + 1):
         sd = SIGMA_0 * np.sqrt(SIGMA_K ** (2 * s) - SIGMA_K ** (2 * s - 2))
@@ -125,6 +131,9 @@ def _octave_levels(first):
     dog = gss[1:] - gss[:-1]
     mod, ang = _gradients(gss)
     return gss, dog, mod, ang
+
+
+_octave_levels = jax.jit(_octave_levels_core)
 
 
 def build_scale_space(im, o_min=-1, n_octaves=None):
@@ -508,13 +517,10 @@ def _bucket_pad(n, minimum=64):
 _R_OR = int(np.floor(3.0 * 1.5 * SIGMA_0 * 2 ** ((S - 1 + 1.5) / S)) + 1)
 
 
-@partial(jax.jit, static_argnames=("max_kp",))
-def _detect_orient_stage(dog, mod, ang, peak_thresh, edge_thresh, max_kp):
-    """Fused detection + orientation for one octave: a single device
-    call returning one stacked metadata array ``(6, max_kp * 4)`` =
-    [theta, angle_valid, x, y, sigma_oct, is] — per-op dispatch through
-    this machine's remote tunnel costs ~0.5s, so stages are fused and
-    host traffic is one pull per stage."""
+def _detect_orient_core(dog, mod, ang, peak_thresh, edge_thresh, max_kp):
+    """Fused detection + orientation for one octave, returning one
+    stacked metadata array ``(7, max_kp * 4)`` = [theta, angle_valid,
+    x, y, sigma_oct, is, raw_count]."""
     det = detect_refine(dog, peak_thresh, edge_thresh, max_kp)
     sigma_oct = SIGMA_0 * (2.0 ** (det["s"] / S))
     kp_is = jnp.clip(det["s"].round().astype(jnp.int32), 0, S - 1)
@@ -575,109 +581,392 @@ def _describe_stage(mod, ang, meta_sel, kval, magnif):
     return descs.reshape(-1, 128)[:KA]
 
 
-def _sift_detect_all(im, peak_thresh, edge_thresh, budgets, o_min):
-    """Pass 1 for a whole image: upsampling, every octave's pyramid,
-    detection, and orientation in ONE jitted graph.
+@partial(jax.jit, static_argnames=("o_min",))
+def _base_first(im_b, o_min):
+    """Batched base preparation: up/downsample to octave ``o_min`` and
+    apply the initial blur.  ``im_b (B, H, W)``."""
 
-    Returns ``(meta (6, sum(budgets)*4), grads)`` where ``grads`` is the
-    per-octave list of (mod, ang) device arrays pass 2 consumes.  A
-    single device call + a single host pull replaces ~20 roundtrips per
-    octave — decisive on this machine's high-latency dispatch tunnel.
+    def prep(im):
+        base = im
+        if o_min < 0:
+            for _ in range(-o_min):
+                base = _upsample2(base)
+        elif o_min > 0:
+            for _ in range(o_min):
+                base = _downsample2(base)
+        sa = SIGMA_0 * (SIGMA_K**S_MIN)
+        sb = SIGMA_N * (2.0**-o_min)
+        return _blur(base, float(np.sqrt(max(sa * sa - sb * sb, 0.0))))
+
+    return jax.vmap(prep)(im_b)
+
+
+@partial(jax.jit, static_argnames=("max_kp",))
+def _octave_pass1(first, peak_thresh, edge_thresh, max_kp):
+    """One octave for a whole image batch: pyramid levels, detection,
+    orientation.  ``first (B, H, W)`` -> ``(next_first (B, H//2, W//2),
+    mod, ang, meta (B, 7, max_kp*4))``.  (Used by the one-pass CPU
+    flow; the TPU flow splits detection from orientation so the
+    orientation kernel runs on compacted rows only.)
     """
-    base = im
-    if o_min < 0:
-        for _ in range(-o_min):
-            base = _upsample2(base)
-    elif o_min > 0:
-        for _ in range(o_min):
-            base = _downsample2(base)
-
-    metas = []
-    grads = []
-    prev_gss = None
-    for oi, budget in enumerate(budgets):
-        o = o_min + oi
-        if oi == 0:
-            sa = SIGMA_0 * (SIGMA_K**S_MIN)
-            sb = SIGMA_N * (2.0**-o)
-            first = _blur(base, float(np.sqrt(max(sa * sa - sb * sb, 0.0))))
-        else:
-            first = _downsample2(prev_gss[S_MIN + S - S_MIN])
-        gss, dog, mod, ang = _octave_levels(first)
-        prev_gss = gss
-        metas.append(
-            _detect_orient_stage(dog, mod, ang, peak_thresh, edge_thresh, budget)
+    gss, dog, mod, ang = jax.vmap(_octave_levels_core)(first)
+    meta = jax.vmap(
+        lambda d, m, a: _detect_orient_core(
+            d, m, a, peak_thresh, edge_thresh, max_kp
         )
-        grads.append((mod, ang))
-    return jnp.concatenate(metas, axis=1), grads
+    )(dog, mod, ang)
+    nxt = gss[:, S_MIN + S - S_MIN, ::2, ::2]
+    return nxt, mod, ang, meta
 
 
-@partial(jax.jit, static_argnames=("magnif",))
-def _describe_all(grads, meta_sels, kvals, magnif):
-    """Pass 2: descriptors for every octave's compacted keypoints in
-    one jitted call; returns one concatenated ``(sum, 128)`` array."""
-    descs = []
-    for (mod, ang), ms, kv in zip(grads, meta_sels, kvals):
-        descs.append(_describe_stage(mod, ang, ms, kv, magnif))
-    return jnp.concatenate(descs, axis=0)
+@partial(jax.jit, static_argnames=("max_kp",))
+def _octave_detect(first, peak_thresh, edge_thresh, max_kp):
+    """One octave, detection only: ``first (B, H, W)`` ->
+    ``(next_first, mod, ang, det (B, 6, max_kp))`` with det rows
+    ``[x, y, sigma_oct, is, valid, raw_count]``.
 
-
-def sift_filter(
-    im,
-    peak_thresh=0.0,
-    edge_thresh=10.0,
-    magnif=3.0,
-    o_min=-1,
-    n_octaves=None,
-    max_kp_per_octave=8192,
-):
-    """Detect SIFT keypoints + 128-d descriptors.
-
-    API parity with ``spectavi.feature.sift_filter`` (reference
-    ``spectavi/feature.py:29-50``): 2-D float image in, ``(nkp, 132)``
-    float32 out with rows ``[x, y, sigma, angle, desc x 128]``.
+    Per-octave programs (instead of round 1's one giant all-octave
+    graph) compile an order of magnitude faster through the remote
+    tunnel and are reused across every image of the same shape; the
+    extra dispatches are cheap (~0.3 ms) because results are only
+    PULLED once per pass, not per call.
     """
-    im = np.asarray(im, dtype=np.float32)
-    if im.ndim != 2:
-        raise TypeError("Only 2d images are supported.")
-    H0, W0 = im.shape
-    if n_octaves is None:
-        n_octaves = num_octaves(H0, W0, o_min)
+    gss, dog, mod, ang = jax.vmap(_octave_levels_core)(first)
 
-    # static per-octave detection budgets from octave shapes
+    def det_one(d):
+        det = detect_refine(d, peak_thresh, edge_thresh, max_kp)
+        sigma_oct = SIGMA_0 * (2.0 ** (det["s"] / S))
+        f = d.dtype
+        return jnp.stack(
+            [
+                det["x"].astype(f),
+                det["y"].astype(f),
+                sigma_oct.astype(f),
+                det["is_"].astype(f),
+                det["valid"].astype(f),
+                jnp.broadcast_to(det["count"].astype(f), det["x"].shape),
+            ]
+        )
+
+    meta = jax.vmap(det_one)(dog)
+    nxt = gss[:, S_MIN + S - S_MIN, ::2, ::2]
+    return nxt, mod, ang, meta
+
+
+@jax.jit
+def _stack_grads(mods, angs):
+    """Stack every octave's gradient levels into ONE zero-padded
+    canonical array ``(B, 3*n_oct, H0, W0)`` (octave o at levels
+    ``3o..3o+2``, top-left).  This lets a single compiled Pallas
+    descriptor kernel serve every octave — out-of-octave patch pixels
+    read zeros, which contribute nothing (weight = mod * win = 0),
+    exactly vlfeat's out-of-image semantics."""
+    B, _, H0, W0 = mods[0].shape
+    L = 3 * len(mods)
+    # canvas padded to the DMA alignment grid (rows 8, cols 128) so
+    # aligned patch anchors never lose edge support
+    H0p = -(-H0 // 8) * 8
+    W0p = -(-W0 // 128) * 128
+    modS = jnp.zeros((B, L, H0p, W0p), jnp.float32)
+    angS = jnp.zeros((B, L, H0p, W0p), jnp.float32)
+    for oi, (m, a) in enumerate(zip(mods, angs)):
+        modS = jax.lax.dynamic_update_slice(modS, m, (0, 3 * oi, 0, 0))
+        angS = jax.lax.dynamic_update_slice(angS, a, (0, 3 * oi, 0, 0))
+    return modS, angS
+
+
+def _describe_jobs(jobs, grads, magnif, canvas=None):
+    """Descriptors for every compacted (image, octave) job, returned
+    as one numpy array in job order (``bucket2`` rows per job).
+
+    TPU path: all octaves' gradients are stacked into one canonical
+    array (:func:`_stack_grads`) and each IMAGE is one call into the
+    Pallas patch-DMA descriptor kernel — one kernel compile total, one
+    result pull.  (The XLA gather formulation runs at ~50M gathered
+    pixels/s on this TPU and dominated SIFT wall-clock; per-octave
+    kernel shapes would recompile 9x.)  CPU backends keep the XLA
+    gather path; both produce identical descriptors.
+    """
+    from spectavi_tpu.ops.l2nn import _on_tpu
+
+    B, _, H0, W0 = grads[0][0].shape
+    # the padded canvas must hold one aligned patch: rows >= 104 and
+    # cols > 128 (so the 128-aligned canvas reaches 256)
+    use_pallas = _on_tpu(grads[0][0]) and H0 >= 104 and W0 > 128
+    if not use_pallas:
+        descs_dev = []
+        for (bi, oi, meta_sel, n_ang, bucket2) in jobs:
+            mod, ang = grads[oi]
+            descs_dev.append(
+                _describe_stage(
+                    mod[bi],
+                    ang[bi],
+                    jnp.asarray(meta_sel),
+                    jnp.asarray(np.arange(bucket2) < n_ang),
+                    magnif,
+                )
+            )
+        return np.asarray(jnp.concatenate(descs_dev, axis=0))
+
+    from spectavi_tpu.ops.sift_desc import (
+        PATCH_C,
+        PATCH_R,
+        finish_descriptors,
+        sift_descriptors_pallas,
+    )
+
+    if canvas is None:
+        canvas = _stack_grads(
+            [m for (m, _) in grads], [a for (_, a) in grads]
+        )
+    modS, angS = canvas
+    H0p, W0p = modS.shape[2], modS.shape[3]
+    descs_dev = []
+    order = []
+    for bi in range(B):
+        img_jobs = [j for j in jobs if j[0] == bi]
+        if not img_jobs:
+            continue
+        ky = np.concatenate([j[2][3] for j in img_jobs])
+        kx = np.concatenate([j[2][2] for j in img_jobs])
+        sig = np.concatenate([j[2][4] for j in img_jobs])
+        th = np.concatenate([j[2][0] for j in img_jobs])
+        lvl = np.concatenate(
+            [
+                j[1] * 3 + np.clip(j[2][5].astype(np.int32), 0, S - 1)
+                for j in img_jobs
+            ]
+        )
+        val = np.concatenate(
+            [np.arange(j[4]) < j[3] for j in img_jobs]
+        )
+        # aligned patch anchors (Mosaic DMA: rows 8-aligned, cols
+        # 128-aligned), clipped to the STACKED canvas — out-of-octave
+        # pixels read zeros and contribute nothing
+        yi = (
+            np.clip(
+                (np.round(ky).astype(np.int32) - 48) & ~7,
+                0,
+                H0p - PATCH_R,
+            )
+        ).astype(np.int32)
+        xi = (
+            np.clip(
+                (np.round(kx).astype(np.int32) - 44) & ~127,
+                0,
+                W0p - PATCH_C,
+            )
+        ).astype(np.int32)
+        raw = sift_descriptors_pallas(
+            modS[bi],
+            angS[bi],
+            jnp.asarray(yi),
+            jnp.asarray(xi),
+            jnp.asarray(lvl),
+            jnp.asarray(ky),
+            jnp.asarray(kx),
+            jnp.asarray(sig),
+            jnp.asarray(th),
+            jnp.asarray(val.astype(np.int32)),
+            magnif,
+        )
+        descs_dev.append(finish_descriptors(raw, jnp.asarray(val)))
+        order.append(bi)
+    desc_np = np.asarray(jnp.concatenate(descs_dev, axis=0))  # one pull
+    # reorder from per-image concatenation back to job order
+    out = np.empty((sum(j[4] for j in jobs), 128), np.float32)
+    img_off = {}
+    pos = 0
+    for bi in order:
+        img_off[bi] = pos
+        pos += sum(j[4] for j in jobs if j[0] == bi)
+    job_out_off = 0
+    cursor = dict(img_off)
+    for j in jobs:
+        bi, _, _, _, bucket2 = j
+        src = cursor[bi]
+        out[job_out_off : job_out_off + bucket2] = desc_np[src : src + bucket2]
+        cursor[bi] = src + bucket2
+        job_out_off += bucket2
+    return out
+
+
+def _octave_budgets(H0, W0, o_min, n_octaves, max_kp_per_octave):
     budgets = []
     H, W = H0 << max(-o_min, 0), W0 << max(-o_min, 0)
     if o_min > 0:
         H, W = H0 >> o_min, W0 >> o_min
-    for oi in range(n_octaves):
+    for _ in range(n_octaves):
         budgets.append(int(min(max_kp_per_octave, max(512, (H * W) // 16))))
         H, W = H // 2, W // 2
-    budgets = tuple(budgets)
+    return tuple(budgets)
 
-    meta_all, grads = _sift_detect_all(
-        jnp.asarray(im), peak_thresh, edge_thresh, budgets, o_min
-    )
-    meta_all = np.asarray(meta_all)  # single pull
 
-    # host: split per octave, compact survivors to pow2 buckets
-    meta_sels, kvals, octave_rows = [], [], []
-    off = 0
-    for oi, budget in enumerate(budgets):
-        span = budget * MAX_ANGLES
-        meta = meta_all[:, off : off + span]
-        off += span
-        n_candidates = int(meta[6, 0])
-        if n_candidates > budget:
-            import warnings
+def _orient_jobs(det_jobs, grads):
+    """Orientation histograms + peaks for compacted detections.
 
-            warnings.warn(
-                f"SIFT octave {oi}: {n_candidates} DoG candidates exceed "
-                f"the static budget {budget}; keeping the strongest "
-                "|DoG| responses. Raise max_kp_per_octave to keep more.",
-                stacklevel=2,
+    Returns ``(angles, canvas)``: ``angles[(bi, oi)] = (th (bucket, 4),
+    avalid (bucket, 4))`` numpy arrays, and the stacked gradient canvas
+    (TPU path) for reuse by the descriptor stage.
+    """
+    from spectavi_tpu.ops.l2nn import _on_tpu
+
+    B, _, H0, W0 = grads[0][0].shape
+    use_pallas = _on_tpu(grads[0][0]) and H0 >= 104 and W0 > 128
+    angles = {}
+    if not use_pallas:
+        devs = []
+        for (bi, oi, det_sel, n_kp, bucket) in det_jobs:
+            mod, ang = grads[oi]
+            kis = jnp.asarray(
+                np.clip(det_sel[3].astype(np.int32), 0, S - 1)
             )
-        meta = meta[:6]
-        sel2 = np.where(meta[1] > 0)[0]
+            th, av = orientations(
+                mod[bi],
+                ang[bi],
+                jnp.asarray(det_sel[0]),
+                jnp.asarray(det_sel[1]),
+                jnp.asarray(det_sel[2]),
+                kis,
+                jnp.asarray(np.arange(bucket) < n_kp),
+                _R_OR,
+            )
+            devs.append((th, av))
+        pulled = [(np.asarray(t), np.asarray(a)) for t, a in devs]
+        for job, ta in zip(det_jobs, pulled):
+            angles[(job[0], job[1])] = ta
+        return angles, None
+
+    from spectavi_tpu.ops.sift_orient import (
+        PATCH_C as OR_PC,
+        PATCH_R as OR_PR,
+        orientation_peaks,
+        sift_orient_hist_pallas,
+    )
+
+    canvas = _stack_grads([m for (m, _) in grads], [a for (_, a) in grads])
+    modS, angS = canvas
+    H0p, W0p = modS.shape[2], modS.shape[3]
+    devs = []
+    groups = []
+    for bi in range(B):
+        img_jobs = [j for j in det_jobs if j[0] == bi]
+        if not img_jobs:
+            continue
+        kx = np.concatenate([j[2][0] for j in img_jobs])
+        ky = np.concatenate([j[2][1] for j in img_jobs])
+        sig = np.concatenate([j[2][2] for j in img_jobs])
+        lvl = np.concatenate(
+            [
+                j[1] * 3 + np.clip(j[2][3].astype(np.int32), 0, S - 1)
+                for j in img_jobs
+            ]
+        )
+        val = np.concatenate([np.arange(j[4]) < j[3] for j in img_jobs])
+        yi = np.clip(
+            (np.round(ky).astype(np.int32) - OR_PR // 2) & ~7,
+            0,
+            H0p - OR_PR,
+        )
+        xi = np.clip(
+            (np.round(kx).astype(np.int32) - 19) & ~127, 0, W0p - OR_PC
+        )
+        hist = sift_orient_hist_pallas(
+            modS[bi], angS[bi],
+            jnp.asarray(yi), jnp.asarray(xi), jnp.asarray(lvl),
+            jnp.asarray(ky), jnp.asarray(kx), jnp.asarray(sig),
+            jnp.asarray(val.astype(np.int32)),
+        )
+        th, av = orientation_peaks(hist, jnp.asarray(val))
+        devs.append((th, av))
+        groups.append((bi, img_jobs))
+    for (bi, img_jobs), (th_d, av_d) in zip(groups, devs):
+        th = np.asarray(th_d)
+        av = np.asarray(av_d)
+        off = 0
+        for j in img_jobs:
+            angles[(bi, j[1])] = (
+                th[off : off + j[4]],
+                av[off : off + j[4]],
+            )
+            off += j[4]
+    return angles, canvas
+
+
+def _sift_batched_same_shape(
+    ims, peak_thresh, edge_thresh, magnif, o_min, n_octaves, max_kp_per_octave
+):
+    """SIFT for a batch of same-shape images with three host pulls
+    total (detections, orientation angles, descriptors); every
+    per-pixel stage runs per-octave batched on device, and on TPU the
+    orientation/descriptor window work runs in patch-DMA Pallas
+    kernels over compacted keypoints only."""
+    B = len(ims)
+    H0, W0 = ims[0].shape
+    if n_octaves is None:
+        n_octaves = num_octaves(H0, W0, o_min)
+    budgets = _octave_budgets(H0, W0, o_min, n_octaves, max_kp_per_octave)
+
+    # pass 1: async per-octave dispatches, one concatenated pull
+    first = _base_first(jnp.asarray(np.stack(ims)), o_min)
+    det_metas, grads = [], []
+    for budget in budgets:
+        first, mod, ang, det = _octave_detect(
+            first, peak_thresh, edge_thresh, budget
+        )
+        det_metas.append(det)
+        grads.append((mod, ang))
+    det_all = np.asarray(jnp.concatenate(det_metas, axis=2))  # (B, 6, total)
+
+    # host: compact valid detections per (image, octave)
+    det_jobs = []  # (bi, oi, det_sel (6, bucket), n_kp, bucket)
+    for bi in range(B):
+        off = 0
+        for oi, budget in enumerate(budgets):
+            det = det_all[bi, :, off : off + budget]
+            off += budget
+            n_candidates = int(det[5, 0])
+            if n_candidates > budget:
+                import warnings
+
+                warnings.warn(
+                    f"SIFT octave {oi}: {n_candidates} DoG candidates "
+                    f"exceed the static budget {budget}; keeping the "
+                    "strongest |DoG| responses. Raise max_kp_per_octave "
+                    "to keep more.",
+                    stacklevel=3,
+                )
+            sel = np.where(det[4] > 0)[0]
+            n_kp = len(sel)
+            if n_kp == 0:
+                continue
+            bucket = _bucket_pad(n_kp)
+            sel_pad = np.concatenate(
+                [sel, np.zeros(bucket - n_kp, dtype=sel.dtype)]
+            )
+            det_jobs.append((bi, oi, det[:, sel_pad], n_kp, bucket))
+
+    if not det_jobs:
+        return [np.zeros((0, 132), np.float32) for _ in range(B)]
+
+    angles, canvas = _orient_jobs(det_jobs, grads)
+
+    # host: expand (keypoint, angle) rows, compact to describe jobs
+    jobs = []  # (img, octave, meta_sel, n_ang, bucket2)
+    for (bi, oi, det_sel, n_kp, bucket) in det_jobs:
+        th, av = angles[(bi, oi)]
+        av = av & (np.arange(bucket) < n_kp)[:, None]
+        meta6 = np.stack(
+            [
+                th.reshape(-1),
+                av.reshape(-1).astype(th.dtype),
+                np.repeat(det_sel[0], MAX_ANGLES),
+                np.repeat(det_sel[1], MAX_ANGLES),
+                np.repeat(det_sel[2], MAX_ANGLES),
+                np.repeat(det_sel[3], MAX_ANGLES),
+            ]
+        )
+        sel2 = np.where(meta6[1] > 0)[0]
         n_ang = len(sel2)
         if n_ang == 0:
             continue
@@ -685,21 +974,15 @@ def sift_filter(
         sel2_pad = np.concatenate(
             [sel2, np.zeros(bucket2 - n_ang, dtype=sel2.dtype)]
         )
-        meta_sel = meta[:, sel2_pad]
-        meta_sels.append(jnp.asarray(meta_sel))
-        kvals.append(jnp.asarray(np.arange(bucket2) < n_ang))
-        octave_rows.append((oi, meta_sel, n_ang, bucket2))
-    if not meta_sels:
-        return np.zeros((0, 132), np.float32)
+        jobs.append((bi, oi, meta6[:, sel2_pad], n_ang, bucket2))
 
-    grads_used = [grads[oi] for (oi, _, _, _) in octave_rows]
-    desc_all = np.asarray(
-        _describe_all(grads_used, meta_sels, kvals, float(magnif))
-    )  # single pull
+    if not jobs:
+        return [np.zeros((0, 132), np.float32) for _ in range(B)]
+    desc_all = _describe_jobs(jobs, grads, float(magnif), canvas)
 
-    out = []
+    outs = [[] for _ in range(B)]
     doff = 0
-    for (oi, meta_sel, n_ang, bucket2) in octave_rows:
+    for (bi, oi, meta_sel, n_ang, bucket2) in jobs:
         xper = 2.0 ** (o_min + oi)
         desc = desc_all[doff : doff + bucket2]
         doff += bucket2
@@ -713,15 +996,67 @@ def sift_filter(
             ],
             axis=1,
         ).astype(np.float32)
-        out.append(rows[:n_ang])
-    return np.concatenate(out, axis=0) if out else np.zeros((0, 132), np.float32)
+        outs[bi].append(rows[:n_ang])
+    return [
+        np.concatenate(o, axis=0) if o else np.zeros((0, 132), np.float32)
+        for o in outs
+    ]
 
 
-def sift_filter_batch(ims, nthread=None):
+def sift_filter(
+    im,
+    peak_thresh=0.0,
+    edge_thresh=10.0,
+    magnif=3.0,
+    o_min=-1,
+    n_octaves=None,
+    max_kp_per_octave=32768,
+):
+    """Detect SIFT keypoints + 128-d descriptors.
+
+    API parity with ``spectavi.feature.sift_filter`` (reference
+    ``spectavi/feature.py:29-50``): 2-D float image in, ``(nkp, 132)``
+    float32 out with rows ``[x, y, sigma, angle, desc x 128]``.
+    """
+    im = np.asarray(im, dtype=np.float32)
+    if im.ndim != 2:
+        raise TypeError("Only 2d images are supported.")
+    return _sift_batched_same_shape(
+        [im], peak_thresh, edge_thresh, magnif, o_min, n_octaves,
+        max_kp_per_octave,
+    )[0]
+
+
+def sift_filter_batch(ims, nthread=None, **kw):
     """Batch SIFT (reference ``sift_filter_batch``): list in, list out.
-    Scheduling is XLA's job; ``nthread`` kept for API parity."""
+
+    Images of equal shape are stacked and run through the vmapped
+    per-octave programs together — the TPU-native replacement for the
+    reference's OpenMP fork over images (``src/Spectavi.cpp:198-215``).
+    ``nthread`` kept for API parity (scheduling is XLA's job).
+    """
     del nthread
-    return [sift_filter(im) for im in ims]
+    ims = [np.asarray(im, dtype=np.float32) for im in ims]
+    for im in ims:
+        if im.ndim != 2:
+            raise TypeError("Only 2d images are supported.")
+    groups = {}
+    for i, im in enumerate(ims):
+        groups.setdefault(im.shape, []).append(i)
+    out = [None] * len(ims)
+    for shape, idxs in groups.items():
+        res = _sift_batched_same_shape(
+            [ims[i] for i in idxs],
+            kw.get("peak_thresh", 0.0),
+            kw.get("edge_thresh", 10.0),
+            kw.get("magnif", 3.0),
+            kw.get("o_min", -1),
+            kw.get("n_octaves", None),
+            kw.get("max_kp_per_octave", 32768),
+        )
+        for i, r in zip(idxs, res):
+            out[i] = r
+    return out
 
 
 def sift_filter_striped(im, nthread=8, buffer_size=20):

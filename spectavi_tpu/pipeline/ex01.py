@@ -41,6 +41,8 @@ def main(argv=None):
                         help="override RANSAC reprojection threshold (normalized coords)")
     parser.add_argument("--ba", action="store_true",
                         help="two-view bundle-adjustment polish after triangulation")
+    parser.add_argument("--distortion", action="store_true",
+                        help="estimate a shared radial (k1,k2) lens model during --ba")
     parser.add_argument("--plots", action="store_true",
                         help="save keypoint/match visualizations to outdir")
     args = parser.parse_args(argv)
@@ -63,6 +65,7 @@ def main(argv=None):
         key=jax.random.PRNGKey(args.seed),
         ransac_options=ransac_options,
         ba=args.ba,
+        distortion=args.distortion,
         plots=args.plots,
     )
 

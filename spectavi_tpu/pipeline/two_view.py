@@ -96,7 +96,7 @@ def step3_estimate_essential(xd, yd, K, ransac_quality="ultra", options=None, ke
     return ransac, x0, x1, xd, yd
 
 
-def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False, ba=False):
+def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False, ba=False, distortion=False):
     ransac, x0, x1, xd, yd = step3_out
     idx = ransac["inlier_idx"]
     P1 = ransac["camera"]
@@ -106,7 +106,9 @@ def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False, ba=
     RX = RX / RX[..., -1:].reshape(-1, 1)
     if ba and len(idx) >= 10:
         # two-view bundle polish (beyond the reference): refine P1 + the
-        # triangulated points against the inlier observations
+        # triangulated points against the inlier observations;
+        # optionally with a shared radial (k1, k2) lens model (the
+        # pinhole-only reference's castle residual floor is distortion)
         from spectavi_tpu.sfm import bundle_adjust, rotation_to_rvec, rodrigues
         import jax.numpy as jnp
 
@@ -118,10 +120,18 @@ def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False, ba=
         pi = np.concatenate([np.arange(M, dtype=np.int32)] * 2)
         uv = np.concatenate([mvg.hnormalize(x0[idx]), mvg.hnormalize(x1[idx])])
         with Timer("step4-ba", quiet):
-            cams_ba, pts_ba, hist = bundle_adjust(
-                cams0, RX[:, :3], ci, pi, uv, fixed_cameras=(0,), max_iters=10
+            out = bundle_adjust(
+                cams0, RX[:, :3], ci, pi, uv, fixed_cameras=(0,),
+                max_iters=10, estimate_distortion=distortion,
             )
-        if not quiet:
+        if distortion:
+            cams_ba, pts_ba, hist, k_ba = out
+            if not quiet:
+                print(f"  two-view BA: cost {hist[0]:.3e} -> {hist[-1]:.3e}"
+                      f"  (k1,k2)=({k_ba[0]:.4f},{k_ba[1]:.4f})")
+        else:
+            cams_ba, pts_ba, hist = out
+        if not quiet and not distortion:
             print(f"  two-view BA: cost {hist[0]:.3e} -> {hist[-1]:.3e}")
         R1 = np.asarray(rodrigues(jnp.asarray(cams_ba[1, :3])))
         ransac = dict(ransac, camera=np.hstack([R1, cams_ba[1, 3:, None]]))
@@ -187,6 +197,7 @@ def run_two_view(
     quiet=False,
     ransac_options=None,
     ba=False,
+    distortion=False,
     plots=False,
 ):
     """Full ex01-equivalent pipeline; returns a result dict.
@@ -239,7 +250,9 @@ def run_two_view(
             " Singular Values ratio score: ",
             np.abs(s[0] - s[1]) / np.abs(s[0] + s[1]),
         )
-    RX, ransac = step4_triangulate(step3_out, image_paths, outdir, quiet, ba=ba)
+    RX, ransac = step4_triangulate(
+        step3_out, image_paths, outdir, quiet, ba=ba, distortion=distortion
+    )
     rect = step5_rectify(ransac, K, image_paths, outdir, rsf, quiet)
     return {
         "matches": step2_out,

@@ -54,3 +54,38 @@ def camera_centers(cams):
     R = np.asarray(rodrigues(jnp.asarray(cams[:, :3])))
     t = cams[:, 3:]
     return -np.einsum("vij,vi->vj", R, t)
+
+
+def nn_distances(src, dst):
+    """For each ``src`` point, distance to its nearest ``dst`` point."""
+    from scipy.spatial import cKDTree
+
+    return cKDTree(np.asarray(dst)).query(np.asarray(src), k=1)[0]
+
+
+def align_clouds_icp(src, dst, iters=3, inlier_quantile=0.8, with_scale=True):
+    """Similarity-align two clouds WITHOUT known correspondences.
+
+    A few ICP rounds: nearest-neighbour pairing (trimmed to the best
+    ``inlier_quantile``), then the closed-form Umeyama update.  Used to
+    compare reconstructions whose inlier sets differ (e.g. across
+    rounds/code versions) — both clouds share the calibrated camera-0
+    frame, so the initial identity guess is already close.
+
+    Returns the aligned ``src`` and the final trimmed-pair RMSE.
+    """
+    from scipy.spatial import cKDTree
+
+    src = np.asarray(src, dtype=np.float64).copy()
+    dst = np.asarray(dst, dtype=np.float64)
+    tree = cKDTree(dst)
+    rmse = np.inf
+    for _ in range(iters):
+        d, j = tree.query(src, k=1)
+        keep = d <= np.quantile(d, inlier_quantile)
+        s, R, t = umeyama(src[keep], dst[j[keep]], with_scale)
+        src = (s * (R @ src.T)).T + t
+        d2, j2 = tree.query(src, k=1)
+        keep2 = d2 <= np.quantile(d2, inlier_quantile)
+        rmse = float(np.sqrt((d2[keep2] ** 2).mean()))
+    return src, rmse

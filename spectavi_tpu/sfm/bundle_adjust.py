@@ -82,22 +82,33 @@ def rotation_to_rvec(R):
     return axis * theta
 
 
-def _project(rvec, tvec, X):
+def _project(rvec, tvec, X, k):
+    """Pinhole projection with an optional radial model: calibrated
+    coordinates distorted by ``(1 + k1 r^2 + k2 r^4)`` (the classic
+    Brown model the pinhole-only reference lacks — castle's residual
+    floor at tight thresholds is lens distortion)."""
     R = rodrigues(rvec)
     Xc = R @ X + tvec
-    return Xc[:2] / Xc[2]
+    p = Xc[:2] / Xc[2]
+    r2 = jnp.sum(p * p)
+    return p * (1.0 + k[0] * r2 + k[1] * r2 * r2)
 
 
-def _residual(rvec, tvec, X, uv):
-    return _project(rvec, tvec, X) - uv
+def _residual(rvec, tvec, X, uv, k):
+    return _project(rvec, tvec, X, k) - uv
 
 
-# per-observation Jacobians via autodiff
-_jac_cam = jax.jacobian(lambda c, X, uv: _residual(c[:3], c[3:], X, uv), argnums=0)
-_jac_pt = jax.jacobian(lambda c, X, uv: _residual(c[:3], c[3:], X, uv), argnums=1)
+# per-observation Jacobians via autodiff (k is a fixed parameter of
+# the inner LM problem; it is refit in closed form between LM rounds)
+_jac_cam = jax.jacobian(
+    lambda c, X, uv, k: _residual(c[:3], c[3:], X, uv, k), argnums=0
+)
+_jac_pt = jax.jacobian(
+    lambda c, X, uv, k: _residual(c[:3], c[3:], X, uv, k), argnums=1
+)
 
 
-def _build_blocks(cams, pts, cam_idx, pt_idx, uv, w):
+def _build_blocks(cams, pts, cam_idx, pt_idx, uv, w, k):
     """Residuals and J^T J blocks for all observations.
 
     ``cams (C, 6)``, ``pts (M, 3)``, ``cam_idx/pt_idx (O,)``,
@@ -105,25 +116,63 @@ def _build_blocks(cams, pts, cam_idx, pt_idx, uv, w):
     """
     c = cams[cam_idx]  # (O, 6)
     X = pts[pt_idx]  # (O, 3)
-    r = jax.vmap(lambda ci, Xi, uvi: _residual(ci[:3], ci[3:], Xi, uvi))(c, X, uv)
-    Jc = jax.vmap(_jac_cam)(c, X, uv)  # (O, 2, 6)
-    Jp = jax.vmap(_jac_pt)(c, X, uv)  # (O, 2, 3)
+    r = jax.vmap(
+        lambda ci, Xi, uvi: _residual(ci[:3], ci[3:], Xi, uvi, k)
+    )(c, X, uv)
+    Jc = jax.vmap(lambda ci, Xi, uvi: _jac_cam(ci, Xi, uvi, k))(c, X, uv)
+    Jp = jax.vmap(lambda ci, Xi, uvi: _jac_pt(ci, Xi, uvi, k))(c, X, uv)
     r = r * w[:, None]
     Jc = Jc * w[:, None, None]
     Jp = Jp * w[:, None, None]
     return r, Jc, Jp
 
 
+@jax.jit
+def fit_distortion(cams, pts, cam_idx, pt_idx, uv, w):
+    """Closed-form least-squares (k1, k2) given fixed geometry.
+
+    The distorted projection is LINEAR in (k1, k2):
+    ``uv ~ p + k1 (p r^2) + k2 (p r^4)`` — two unknowns, solved from
+    the 2x2 normal equations over every observation.
+    """
+    c = cams[cam_idx]
+    X = pts[pt_idx]
+
+    def proj(ci, Xi):
+        R = rodrigues(ci[:3])
+        Xc = R @ Xi + ci[3:]
+        return Xc[:2] / Xc[2]
+
+    p = jax.vmap(proj)(c, X)  # (O, 2)
+    r2 = jnp.sum(p * p, axis=1, keepdims=True)
+    b1 = p * r2 * w[:, None]
+    b2 = p * r2 * r2 * w[:, None]
+    d = (uv - p) * w[:, None]
+    a11 = jnp.sum(b1 * b1)
+    a12 = jnp.sum(b1 * b2)
+    a22 = jnp.sum(b2 * b2)
+    c1 = jnp.sum(b1 * d)
+    c2 = jnp.sum(b2 * d)
+    det = a11 * a22 - a12 * a12
+    safe = jnp.abs(det) > 1e-30
+    det = jnp.where(safe, det, 1.0)
+    k1 = jnp.where(safe, (c1 * a22 - c2 * a12) / det, 0.0)
+    k2 = jnp.where(safe, (c2 * a11 - c1 * a12) / det, 0.0)
+    return jnp.stack([k1, k2])
+
+
 def _segsum(vals, idx, num):
     return jax.ops.segment_sum(vals, idx, num_segments=num)
 
 
-def _ba_quantities(cams, pts, cam_idx, pt_idx, uv, w, lam, psum=None):
+def _ba_quantities(cams, pts, cam_idx, pt_idx, uv, w, lam, k=None, psum=None):
     """U, V^-1, per-observation W, and gradient blocks (optionally
     psum-reduced across a mesh axis for sharded observations)."""
     C = cams.shape[0]
     M = pts.shape[0]
-    r, Jc, Jp = _build_blocks(cams, pts, cam_idx, pt_idx, uv, w)
+    if k is None:
+        k = jnp.zeros(2, cams.dtype)
+    r, Jc, Jp = _build_blocks(cams, pts, cam_idx, pt_idx, uv, w, k)
 
     U = _segsum(jnp.einsum("oki,okj->oij", Jc, Jc), cam_idx, C)  # (C,6,6)
     V = _segsum(jnp.einsum("oki,okj->oij", Jp, Jp), pt_idx, M)  # (M,3,3)
@@ -196,11 +245,11 @@ def _solve_schur(U, Vinv, Wblk, bc, bp, cam_idx, pt_idx, fixed_cam_mask, psum=No
 
 
 @partial(jax.jit, static_argnames=("cg_iters",))
-def ba_step(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed_cam_mask, cg_iters=100):
+def ba_step(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed_cam_mask, k=None, cg_iters=100):
     """One damped Gauss-Newton (LM) step.  Returns ``(new_cams,
     new_pts, cost_before)``; the caller accepts/rejects."""
     U, Vinv, Wblk, bc, bp, cost = _ba_quantities(
-        cams, pts, cam_idx, pt_idx, uv, w, lam
+        cams, pts, cam_idx, pt_idx, uv, w, lam, k=k
     )
     dc, dp = _solve_schur(
         U, Vinv, Wblk, bc, bp, cam_idx, pt_idx, fixed_cam_mask, cg_iters=cg_iters
@@ -209,8 +258,10 @@ def ba_step(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed_cam_mask, cg_iters=100
 
 
 @partial(jax.jit, static_argnames=())
-def ba_cost(cams, pts, cam_idx, pt_idx, uv, w):
-    r, _, _ = _build_blocks(cams, pts, cam_idx, pt_idx, uv, w)
+def ba_cost(cams, pts, cam_idx, pt_idx, uv, w, k=None):
+    if k is None:
+        k = jnp.zeros(2, cams.dtype)
+    r, _, _ = _build_blocks(cams, pts, cam_idx, pt_idx, uv, w, k)
     return jnp.sum(r * r)
 
 
@@ -227,6 +278,7 @@ def bundle_adjust(
     cg_iters=100,
     tol=1e-12,
     verbose=False,
+    estimate_distortion=False,
 ):
     """Levenberg-Marquardt bundle adjustment (host loop, jitted steps).
 
@@ -238,6 +290,10 @@ def bundle_adjust(
     uv : ``(O, 2)`` calibrated image observations.
     weights : optional ``(O,)`` weights (0 masks an observation).
     fixed_cameras : camera indices held fixed (gauge).
+    estimate_distortion : if True, a shared radial ``(k1, k2)`` model
+        is alternated with the LM rounds (closed-form 2x2 refit — the
+        distorted residual is linear in k) and returned as a fourth
+        output ``(cams, pts, history, k)``.
     """
     # use f64 when x64 is enabled (CPU test/precision runs), f32 otherwise
     # (TPU: f64 linalg is emulated-or-broken there; f32 converges fine)
@@ -258,13 +314,23 @@ def bundle_adjust(
     fixed = jnp.asarray(fixed)
 
     lam = lam0
-    cost = float(ba_cost(cams, pts, cam_idx, pt_idx, uv, w))
+    k = jnp.zeros(2, cams.dtype)
+    cost = float(ba_cost(cams, pts, cam_idx, pt_idx, uv, w, k))
+    if estimate_distortion:
+        # fit k against the INITIAL geometry first — otherwise the
+        # first LM rounds warp cameras/points to absorb the distortion
+        # and the closed-form refit has nothing left to explain
+        k0 = fit_distortion(cams, pts, cam_idx, pt_idx, uv, w)
+        cost0 = float(ba_cost(cams, pts, cam_idx, pt_idx, uv, w, k0))
+        if cost0 < cost:
+            k, cost = k0, cost0
     history = [cost]
     for it in range(max_iters):
         new_cams, new_pts, _ = ba_step(
-            cams, pts, cam_idx, pt_idx, uv, w, lam, fixed, cg_iters=cg_iters
+            cams, pts, cam_idx, pt_idx, uv, w, lam, fixed, k=k,
+            cg_iters=cg_iters,
         )
-        new_cost = float(ba_cost(new_cams, new_pts, cam_idx, pt_idx, uv, w))
+        new_cost = float(ba_cost(new_cams, new_pts, cam_idx, pt_idx, uv, w, k))
         if verbose:
             print(f"BA iter {it}: cost {cost:.6e} -> {new_cost:.6e} (lam={lam:.1e})")
         if new_cost < cost:
@@ -272,10 +338,20 @@ def bundle_adjust(
             cams, pts, cost = new_cams, new_pts, new_cost
             lam = max(lam * 0.3, 1e-12)
             history.append(cost)
+            if estimate_distortion:
+                k_new = fit_distortion(cams, pts, cam_idx, pt_idx, uv, w)
+                cost_k = float(
+                    ba_cost(cams, pts, cam_idx, pt_idx, uv, w, k_new)
+                )
+                if cost_k < cost:  # accept only when the refit helps
+                    k, cost = k_new, cost_k
+                    history.append(cost)
             if improvement < tol:
                 break
         else:
             lam *= 10.0
             if lam > 1e8:
                 break
+    if estimate_distortion:
+        return np.asarray(cams), np.asarray(pts), history, np.asarray(k)
     return np.asarray(cams), np.asarray(pts), history

@@ -105,3 +105,41 @@ def test_ba_masked_observations(rng):
     b_cams, b_pts, _ = bundle_adjust(cams_n, pts, ci2, pi2, uv2, weights=w2, max_iters=5)
     np.testing.assert_allclose(a_cams, b_cams, atol=1e-10)
     np.testing.assert_allclose(a_pts, b_pts, atol=1e-10)
+
+
+def test_ba_distortion_recovers_k(rng):
+    """Synthetic lens with known (k1, k2): distortion-aware BA must
+    drive the cost far below the pinhole-only fit and recover k."""
+    import numpy as np
+    from spectavi_tpu.sfm.bundle_adjust import bundle_adjust
+
+    k_true = np.array([-0.15, 0.03])
+    C, M = 3, 120
+    cams = np.zeros((C, 6))
+    for c in range(1, C):
+        cams[c, :3] = rng.normal(0, 0.05, 3)
+        cams[c, 3:] = rng.normal(0, 0.3, 3)
+    pts = rng.standard_normal((M, 3)) * [1, 1, 0.4] + [0, 0, 5.0]
+    ci = np.repeat(np.arange(C), M).astype(np.int32)
+    pi = np.tile(np.arange(M), C).astype(np.int32)
+
+    from spectavi_tpu.sfm.bundle_adjust import rodrigues
+    import jax.numpy as jnp
+
+    uv = []
+    for c, p in zip(ci, pi):
+        R = np.asarray(rodrigues(jnp.asarray(cams[c, :3])))
+        Xc = R @ pts[p] + cams[c, 3:]
+        x = Xc[:2] / Xc[2]
+        r2 = (x * x).sum()
+        uv.append(x * (1 + k_true[0] * r2 + k_true[1] * r2 * r2))
+    uv = np.asarray(uv)
+
+    # pinhole-only BA saturates at the distortion floor
+    _, _, hist0 = bundle_adjust(cams, pts, ci, pi, uv, max_iters=8)
+    # distortion-aware BA drives the cost ~to zero and recovers k
+    _, _, hist1, k_est = bundle_adjust(
+        cams, pts, ci, pi, uv, max_iters=8, estimate_distortion=True
+    )
+    assert hist1[-1] < 1e-3 * max(hist0[-1], 1e-30)
+    np.testing.assert_allclose(k_est, k_true, atol=5e-3)

@@ -59,9 +59,9 @@ def test_sift_golden_keypoints(golden, ours):
             sig_ratio.append(kp[best, 2] / gold[gi, 2])
     cos_all = np.asarray(cos_all)
     sig_ratio = np.asarray(sig_ratio)
-    assert matched / len(gold) > 0.97
-    assert np.median(cos_all) > 0.99
-    assert (cos_all > 0.9).mean() > 0.98
+    assert matched / len(gold) >= 0.99
+    assert np.median(cos_all) > 0.999
+    assert (cos_all > 0.95).mean() >= 0.99
     assert np.abs(np.median(sig_ratio) - 1.0) < 1e-3
 
 
