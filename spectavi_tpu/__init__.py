@@ -45,4 +45,17 @@ if _os.environ.get("SPECTAVI_TPU_CACHE_DIR"):
     except Exception:  # cache is an optimization, never a requirement
         pass
 
+# Full-f32 matmuls/convs everywhere.  TPU lowers f32 dots to bf16
+# passes by default; this is a GEOMETRY library whose matmuls are all
+# small closed-form linear algebra (7-point constraint systems, DLT,
+# J^T J blocks) where bf16 is catastrophic: RANSAC on a 70%-inlier
+# synthetic scene recovers 0.2% inliers under bf16 vs 70% under f32
+# (reprojection thresholds sit at 1e-4 in normalized coordinates).
+# It is also FASTER to compile here (the 3-pass bf16 decomposition of
+# every tiny matmul blew a 28 s RANSAC compile up to 256 s through the
+# remote-compile tunnel).  The one genuinely hot matmul — the int8 MXU
+# descriptor matcher — is an integer Pallas kernel and unaffected.
+if not _os.environ.get("JAX_DEFAULT_MATMUL_PRECISION"):
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
 from spectavi_tpu import mvg, features, match, pipeline, sfm  # noqa: F401

@@ -64,6 +64,7 @@ def l2_topk_mxu(x, y, k=2):
         xi,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # integer matmul
     )  # (Y, X)
     d2 = yy[:, None] - 2 * xy + xx[None, :]
     neg_d, idx = jax.lax.top_k(-d2, k)

@@ -58,6 +58,10 @@ def _fused_kernel(xxk_ref, y_ref, x_ref, idx_ref, dist_ref, *, n_x_tiles):
             yv,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
+            # integer matmul: the package-level "highest" matmul
+            # precision must not leak in (Mosaic rejects an fp32
+            # contract precision on an int8 tpu.matmul)
+            precision=jax.lax.Precision.DEFAULT,
         )  # (TX, TY)
         # key = 256*(xx - 2*xy) + row8, one fused op off the MXU output
         key = xxk_ref[pl.ds(k * _TX, _TX), :] - 512 * xyT

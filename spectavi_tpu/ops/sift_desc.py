@@ -124,31 +124,56 @@ def _desc_kernel(
         m = pmod[slot, :, :]
         a = pang[slot, :, :]
 
-        theta = a - theta0
-        theta = theta - jnp.floor(theta / TWO_PI) * TWO_PI  # mod 2pi
-        nt = NBO * theta / TWO_PI
+        @pl.when(valid > 0)
+        def _():
+            theta = a - theta0
+            theta = theta - jnp.floor(theta / TWO_PI) * TWO_PI  # mod 2pi
+            nt = NBO * theta / TWO_PI
 
-        win = jnp.exp(-(dx * dx + dy * dy) / (2.0 * wsigma * wsigma))
-        sel = (jnp.abs(dx) <= Wr) & (jnp.abs(dy) <= Wr)
-        contrib = jnp.where(sel & (valid > 0), m * win, 0.0)
+            win = jnp.exp(-(dx * dx + dy * dy) / (2.0 * wsigma * wsigma))
+            sel = (jnp.abs(dx) <= Wr) & (jnp.abs(dy) <= Wr)
+            contrib = jnp.where(sel, m * win, 0.0)
 
-        # everything stays 2D (3D temporaries spill in Mosaic): 4+4
-        # spatial triangle planes and 8 orientation planes, then each
-        # of the 128 bins is one fused multiply-reduce over the patch
-        centers = [float(i) - (NBP - 1) / 2.0 for i in range(NBP)]
-        wys = [jnp.maximum(0.0, 1.0 - jnp.abs(ny - c)) for c in centers]
-        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(nx - c)) for c in centers]
-        flat = [None] * (NBP * NBP * NBO)
-        for o in range(NBO):
-            dth = jnp.abs(nt - float(o))
-            dth = jnp.minimum(dth, NBO - dth)
-            c_o = contrib * jnp.maximum(0.0, 1.0 - dth)  # (PATCH, LANES)
-            for by in range(NBP):
-                cy = c_o * wys[by]
-                for bx in range(NBP):
-                    # vlfeat layout: desc[(by*NBP + bx)*NBO + o]
-                    flat[(by * NBP + bx) * NBO + o] = jnp.sum(cy * wxs[bx])
-        out_ref[j, :] = jnp.stack(flat)
+            # everything stays 2D (3D temporaries spill in Mosaic):
+            # 16 spatial triangle-product planes (shared across the 8
+            # orientation planes), then per bin a multiply + a
+            # vector-register fold — scalar full-reductions and a
+            # 128-scalar stack are Mosaic's weakest ops, so each bin is
+            # folded to a (1, 128) partial ROW instead, the 128 rows
+            # concatenated (sublane writes), and the final cross-lane
+            # sum done once for all bins via an MXU transpose + a
+            # sublane reduction.
+            centers = [float(i) - (NBP - 1) / 2.0 for i in range(NBP)]
+            wys = [jnp.maximum(0.0, 1.0 - jnp.abs(ny - c)) for c in centers]
+            wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(nx - c)) for c in centers]
+            exy = [wys[by] * wxs[bx] for by in range(NBP) for bx in range(NBP)]
+
+            def fold_row(m2d):
+                # (PATCH_R, PATCH_C) -> (1, OUT_LANES) partial sums
+                acc = m2d[:, :OUT_LANES]
+                for c0 in range(OUT_LANES, PATCH_C, OUT_LANES):
+                    acc = acc + m2d[:, c0 : c0 + OUT_LANES]
+                acc8 = acc[0:8, :]
+                for r0 in range(8, PATCH_R, 8):
+                    acc8 = acc8 + acc[r0 : r0 + 8, :]
+                a4 = acc8[0:4, :] + acc8[4:8, :]
+                a2 = a4[0:2, :] + a4[2:4, :]
+                return a2[0:1, :] + a2[1:2, :]
+
+            rows = [None] * (NBP * NBP * NBO)
+            for o in range(NBO):
+                dth = jnp.abs(nt - float(o))
+                dth = jnp.minimum(dth, NBO - dth)
+                c_o = contrib * jnp.maximum(0.0, 1.0 - dth)  # (PATCH, LANES)
+                for b in range(NBP * NBP):
+                    # vlfeat layout: desc[b * NBO + o]
+                    rows[b * NBO + o] = fold_row(c_o * exy[b])
+            P = jnp.concatenate(rows, axis=0)  # (128 bins, 128 partials)
+            out_ref[j, :] = jnp.sum(P.T, axis=0)
+
+        @pl.when(valid <= 0)
+        def _():
+            out_ref[j, :] = jnp.zeros((OUT_LANES,), jnp.float32)
 
 
 def _pow2ceil(n):

@@ -45,6 +45,10 @@ def main(argv=None):
                         help="estimate a shared radial (k1,k2) lens model during --ba")
     parser.add_argument("--plots", action="store_true",
                         help="save keypoint/match visualizations to outdir")
+    parser.add_argument("--view", action="store_true",
+                        help="open the sparse cloud interactively with "
+                        "open3d (reference ex01's final viz step; falls "
+                        "back to a message when open3d is unavailable)")
     args = parser.parse_args(argv)
 
     import jax
@@ -68,6 +72,12 @@ def main(argv=None):
         distortion=args.distortion,
         plots=args.plots,
     )
+    if args.view:
+        import os
+
+        from spectavi_tpu.pipeline.viz import try_open3d_viz
+
+        try_open3d_viz(os.path.join(args.outdir, "sparse_inliers.ply"))
 
 
 if __name__ == "__main__":

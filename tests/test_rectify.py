@@ -87,3 +87,79 @@ def test_rectify_shape_mismatch():
         mvg.image_pair_rectification(
             np.eye(3, 4), np.eye(3, 4), np.zeros((4, 4)), np.zeros((5, 5))
         )
+
+
+def _numpy_rectify_color(P0, P1, im0, im1, sf):
+    """Channel-aware oracle incl. the reference's ``extra = max(H,
+    W*C)//2`` vertical-padding quirk (``src/Camera.h:263-267`` folds
+    channels into its column count)."""
+    H, W, C = im0.shape
+    F = np.asarray(mvg.fundamental_from_cameras(P0, P1))
+    extra = int(max(H, W * C) / 2.0)
+    S = int(sf * W)
+    R = H + 2 * extra
+    r0 = np.zeros((R, S, C))
+    r1 = np.zeros((R, S, C))
+    i0 = -np.ones((R, S), dtype=np.int32)
+    i1 = -np.ones((R, S), dtype=np.int32)
+    xx = np.linspace(0, W - 1, S)
+    for k, row in enumerate(range(-extra, H + extra)):
+        line0 = F.T @ np.array([0.0, row, 1.0])
+        yy0 = (-line0[2] - line0[0] * xx) / line0[1]
+        seed = np.array([xx[0], yy0[0], 1.0])
+        line1 = F @ seed
+        yy1 = (-line1[2] - line1[0] * xx) / line1[1]
+        for (yy, rim, idx, im) in ((yy0, r0, i0, im0), (yy1, r1, i1, im1)):
+            xi = np.trunc(xx).astype(int)
+            yi = np.trunc(yy).astype(int)
+            ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+            rim[k, ok, :] = im[yi[ok], xi[ok], :]
+            idx[k, ok] = yi[ok] * W + xi[ok]
+    return r0, r1, i0, i1
+
+
+def test_rectify_color_matches_numpy_oracle(rng):
+    """3-channel rectification against the channel-aware oracle (the
+    round-1 suite only covered grayscale)."""
+    H, W = 18, 22
+    im0 = rng.random((H, W, 3))
+    im1 = rng.random((H, W, 3))
+    P0 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    a = -0.12
+    Rm = np.array(
+        [[1, 0, 0], [0, np.cos(a), -np.sin(a)], [0, np.sin(a), np.cos(a)]]
+    )
+    P1 = np.hstack([Rm, np.array([[0.4], [-0.15], [0.08]])])
+    r0, r1, i0, i1 = mvg.image_pair_rectification(
+        P0, P1, im0, im1, sampling_factor=1.0, crop_invalid=False
+    )
+    o0, o1, oi0, oi1 = _numpy_rectify_color(P0, P1, im0, im1, 1.0)
+    assert r0.shape == o0.shape  # extra = max(H, W*C)//2 quirk honored
+    np.testing.assert_allclose(r0, o0, atol=1e-10)
+    np.testing.assert_allclose(r1, o1, atol=1e-10)
+    np.testing.assert_array_equal(i0, oi0)
+    np.testing.assert_array_equal(i1, oi1)
+
+
+def test_rectify_strong_rotation_oracle(rng):
+    """A harder geometry: combined yaw+roll with a long baseline."""
+    H, W = 30, 26
+    im0 = rng.random((H, W))
+    im1 = rng.random((H, W))
+    P0 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    ay, ar = 0.35, 0.2
+    Ry = np.array(
+        [[np.cos(ay), 0, np.sin(ay)], [0, 1, 0], [-np.sin(ay), 0, np.cos(ay)]]
+    )
+    Rr = np.array(
+        [[np.cos(ar), -np.sin(ar), 0], [np.sin(ar), np.cos(ar), 0], [0, 0, 1]]
+    )
+    P1 = np.hstack([Ry @ Rr, np.array([[1.2], [0.3], [-0.2]])])
+    r0, r1, i0, i1 = mvg.image_pair_rectification(
+        P0, P1, im0, im1, sampling_factor=1.5, crop_invalid=False
+    )
+    o0, o1, oi0, oi1 = _numpy_rectify(P0, P1, im0, im1, 1.5)
+    np.testing.assert_allclose(r0, o0, atol=1e-10)
+    np.testing.assert_allclose(r1, o1, atol=1e-10)
+    np.testing.assert_array_equal(i0, oi0)
+    np.testing.assert_array_equal(i1, oi1)

@@ -109,3 +109,74 @@ def test_sift_striped_similar(golden):
     tree = cKDTree(kps[:, :2])
     d, _ = tree.query(kp[:, :2], k=1)
     assert (d < 1.0).mean() > 0.8
+
+
+def test_desc_kernel_interpret_parity(rng):
+    """The Pallas patch-DMA descriptor kernel (interpret mode) must
+    agree with an independent numpy oracle of the vlfeat descriptor
+    formula on random gradients and keypoints."""
+    from spectavi_tpu.ops.sift_desc import (
+        PATCH_C,
+        PATCH_R,
+        sift_descriptors_pallas,
+    )
+    import jax.numpy as jnp
+
+    S, H, W = 2, 112, 384
+    mod = rng.random((S, H, W)).astype(np.float32)
+    ang = (rng.random((S, H, W)) * 2 * np.pi).astype(np.float32)
+    K = 9
+    ky = rng.uniform(40, H - 40, K).astype(np.float32)
+    kx = rng.uniform(60, W - 60, K).astype(np.float32)
+    sig = rng.uniform(1.5, 3.0, K).astype(np.float32)
+    th0 = (rng.random(K) * 2 * np.pi).astype(np.float32)
+    lvl = rng.integers(0, S, K).astype(np.int32)
+    val = np.ones(K, np.int32)
+    val[-1] = 0
+    yi = np.clip((np.round(ky).astype(np.int32) - 48) & ~7, 0, H - PATCH_R)
+    xi = np.clip((np.round(kx).astype(np.int32) - 44) & ~127, 0, W - PATCH_C)
+
+    raw = np.asarray(
+        sift_descriptors_pallas(
+            jnp.asarray(mod), jnp.asarray(ang),
+            jnp.asarray(yi), jnp.asarray(xi), jnp.asarray(lvl),
+            jnp.asarray(ky), jnp.asarray(kx), jnp.asarray(sig),
+            jnp.asarray(th0), jnp.asarray(val), interpret=True,
+        )
+    )
+
+    # independent numpy oracle (float64)
+    for k in range(K):
+        m = mod[lvl[k], yi[k] : yi[k] + PATCH_R, xi[k] : xi[k] + PATCH_C]
+        a = ang[lvl[k], yi[k] : yi[k] + PATCH_R, xi[k] : xi[k] + PATCH_C]
+        ys = yi[k] + np.arange(PATCH_R, dtype=np.float64)[:, None]
+        xs = xi[k] + np.arange(PATCH_C, dtype=np.float64)[None, :]
+        dy = ys - ky[k]
+        dx = xs - kx[k]
+        SBP = 3.0 * sig[k]
+        wsigma = 2.0 * SBP
+        Wr = SBP * 2.5 * np.sqrt(2.0) + 0.5
+        ct, st = np.cos(th0[k]), np.sin(th0[k])
+        nx = (ct * dx + st * dy) / SBP
+        ny = (-st * dx + ct * dy) / SBP
+        nt = 8.0 * np.mod(a - th0[k], 2 * np.pi) / (2 * np.pi)
+        win = np.exp(-(dx * dx + dy * dy) / (2 * wsigma * wsigma))
+        contrib = np.where(
+            (np.abs(dx) <= Wr) & (np.abs(dy) <= Wr), m * win, 0.0
+        )
+        want = np.zeros(128)
+        for o in range(8):
+            dth = np.minimum(np.abs(nt - o), 8 - np.abs(nt - o))
+            c_o = contrib * np.maximum(0.0, 1.0 - dth)
+            for by in range(4):
+                wy = np.maximum(0.0, 1.0 - np.abs(ny - (by - 1.5)))
+                for bx in range(4):
+                    wx = np.maximum(0.0, 1.0 - np.abs(nx - (bx - 1.5)))
+                    want[(by * 4 + bx) * 8 + o] = (c_o * wy * wx).sum()
+        if val[k]:
+            scale = max(np.abs(want).max(), 1e-6)
+            np.testing.assert_allclose(
+                raw[k] / scale, want / scale, atol=2e-5
+            )
+        else:
+            assert np.all(raw[k] == 0.0)
