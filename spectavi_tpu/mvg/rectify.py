@@ -89,6 +89,49 @@ def rectify_pair(P0, P1, im0, im1, sampling_factor=1.2):
     return r0, r1, idx0, idx1
 
 
+def _rectify_pair_host(P0, P1, im0, im1, sampling_factor):
+    """Numpy twin of :func:`rectify_pair` (same semantics, float64).
+
+    Rectification is an *output-formatting* step: its products (the
+    rectified jpgs and the raw index maps) are consumed on the host and
+    written to disk, the sampling is a memory-bound gather with zero
+    FLOPs of substance, and the line geometry wants float64 (the
+    reference is an f64 Eigen code path; f64 on this TPU is emulated at
+    ~f32 precision and real f64 compute is slow).  Pulling the ~100 MB
+    of rectified output through the device tunnel dominated the
+    pipeline's step 5 (31 s warm) — host numpy does the whole thing in
+    tens of milliseconds.  :func:`rectify_pair` remains the device path
+    for pipelines that consume rectified tensors on-device.
+    """
+    H, W, C = im0.shape
+    extra = int(max(H, W * C) / 2.0)
+    S = int(sampling_factor * W)
+    rows = np.arange(-extra, H + extra, dtype=np.float64)
+    F = np.asarray(fundamental_from_cameras(jnp.asarray(P0), jnp.asarray(P1)))
+    origins = np.stack([np.zeros_like(rows), rows, np.ones_like(rows)], -1)
+    lines0 = origins @ F
+    xx = np.linspace(0.0, W - 1.0, S)
+    yy0 = (-lines0[:, 2:3] - lines0[:, 0:1] * xx[None, :]) / lines0[:, 1:2]
+    seeds = np.stack([np.full_like(rows, xx[0]), yy0[:, 0], np.ones_like(rows)], -1)
+    lines1 = seeds @ F.T
+    yy1 = (-lines1[:, 2:3] - lines1[:, 0:1] * xx[None, :]) / lines1[:, 1:2]
+
+    def resample(im, yy):
+        xi = np.trunc(xx).astype(np.int32)
+        yi = np.trunc(yy).astype(np.int32)
+        valid = (xi[None, :] >= 0) & (xi[None, :] < W) & (yi >= 0) & (yi < H)
+        xc = np.clip(xi, 0, W - 1)
+        yc = np.clip(yi, 0, H - 1)
+        vals = im[yc, np.broadcast_to(xc[None, :], yy.shape)]
+        vals = np.where(valid[..., None], vals, 0.0)
+        idx = np.where(valid, yi * W + xi[None, :], -1).astype(np.int32)
+        return vals, idx
+
+    r0, i0 = resample(im0, yy0)
+    r1, i1 = resample(im1, yy1)
+    return r0, r1, i0, i1
+
+
 def image_pair_rectification(P0, P1, im0, im1, sampling_factor=1.2, crop_invalid=True):
     """API parity with ``spectavi.mvg.image_pair_rectification``
     (reference ``spectavi/mvg.py:47-111``), including valid-region
@@ -101,13 +144,13 @@ def image_pair_rectification(P0, P1, im0, im1, sampling_factor=1.2, crop_invalid
     if squeeze:
         im0 = im0[..., None]
         im1 = im1[..., None]
-    P0 = jnp.asarray(np.asarray(P0, dtype=np.float64))
-    P1 = jnp.asarray(np.asarray(P1, dtype=np.float64))
-    r0, r1, ri0, ri1 = rectify_pair(
-        P0, P1, jnp.asarray(im0), jnp.asarray(im1), float(sampling_factor)
+    r0, r1, ri0, ri1 = _rectify_pair_host(
+        np.asarray(P0, dtype=np.float64),
+        np.asarray(P1, dtype=np.float64),
+        im0,
+        im1,
+        float(sampling_factor),
     )
-    r0, r1 = np.asarray(r0), np.asarray(r1)
-    ri0, ri1 = np.asarray(ri0), np.asarray(ri1)
     if squeeze:
         r0, r1 = r0[..., 0], r1[..., 0]
     if crop_invalid:

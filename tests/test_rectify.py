@@ -163,3 +163,23 @@ def test_rectify_strong_rotation_oracle(rng):
     np.testing.assert_allclose(r1, o1, atol=1e-10)
     np.testing.assert_array_equal(i0, oi0)
     np.testing.assert_array_equal(i1, oi1)
+
+
+def test_rectify_device_path_matches_host(rng):
+    """The jnp device path (``rectify_pair``) and the numpy host path
+    behind the public API must agree exactly (f64 on CPU)."""
+    import jax.numpy as jnp
+
+    from spectavi_tpu.mvg.rectify import _rectify_pair_host, rectify_pair
+
+    H, W = 20, 24
+    im0 = rng.random((H, W, 1))
+    im1 = rng.random((H, W, 1))
+    P0 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    P1 = np.hstack([np.eye(3), np.array([[0.35], [0.12], [0.05]])])
+    d = rectify_pair(
+        jnp.asarray(P0), jnp.asarray(P1), jnp.asarray(im0), jnp.asarray(im1), 1.2
+    )
+    h = _rectify_pair_host(P0, P1, im0, im1, 1.2)
+    for a, b in zip(d, h):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)
