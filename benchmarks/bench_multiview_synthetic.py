@@ -35,12 +35,15 @@ def make_scene(rng):
     Ht, Wt = tex.shape
     # world extent of the textured plane: x,y in [-1, 1] * aspect
     aspect = Wt / Ht
-    centers = rng.uniform(-0.7, 0.7, size=(6, 2)) * [aspect, 1.0]
-    amps = rng.uniform(0.05, 0.12, size=6)
-    widths = rng.uniform(0.25, 0.6, size=6)
+    # strong relief: a near-planar surface is DEGENERATE for
+    # essential-matrix estimation (the 7-point problem loses rank), so
+    # the bumps must carry real depth variation relative to the scene
+    centers = rng.uniform(-0.7, 0.7, size=(8, 2)) * [aspect, 1.0]
+    amps = rng.uniform(0.35, 0.7, size=8) * rng.choice([-1, 1], 8)
+    widths = rng.uniform(0.3, 0.7, size=8)
 
     def height(x, y):
-        h = np.zeros_like(x)
+        h = 0.15 * (x * x + y * y)  # gentle bowl breaks global planarity
         for (cx, cy), a, w in zip(centers, amps, widths):
             h = h + a * np.exp(-((x - cx) ** 2 + (y - cy) ** 2) / (2 * w * w))
         return h
@@ -74,11 +77,21 @@ def look_at(C, target, up=(0.0, -1.0, 0.0)):
     return R, t
 
 
-def render(height, texture_at, K, R, t, H, W, depth=4.0, iters=4):
+def render(height, texture_at, K, R, t, H, W, depth=4.0, iters=8, ss=2):
     """Exact inverse render: per pixel, intersect the camera ray with
     the heightfield surface z_world = depth - h(x, y) by fixed-point
-    iteration (gentle slopes -> converges in a few steps)."""
-    Kinv = np.linalg.inv(K)
+    iteration.  Rendered at ``ss``x supersampling and box-downsampled
+    (the texture is minified at this geometry; aliasing would corrupt
+    SIFT descriptors)."""
+    Kss = np.array(
+        [
+            [K[0, 0] * ss, 0, K[0, 2] * ss],
+            [0, K[1, 1] * ss, K[1, 2] * ss],
+            [0, 0, 1.0],
+        ]
+    )
+    H, W = H * ss, W * ss
+    Kinv = np.linalg.inv(Kss)
     us, vs = np.meshgrid(np.arange(W), np.arange(H))
     rays = np.stack([us.ravel(), vs.ravel(), np.ones(H * W)])  # (3, HW)
     d_cam = Kinv @ rays
@@ -92,7 +105,10 @@ def render(height, texture_at, K, R, t, H, W, depth=4.0, iters=4):
         lam = (z_surf - C[2]) / d_world[2]
     x = C[0] + lam * d_world[0]
     y = C[1] + lam * d_world[1]
-    return texture_at(x, y).reshape(H, W)
+    im = texture_at(x, y).reshape(H, W)
+    if ss > 1:
+        im = im.reshape(H // ss, ss, W // ss, ss).mean(axis=(1, 3))
+    return im
 
 
 def main(argv=None):
@@ -146,6 +162,10 @@ def main(argv=None):
         outdir=os.path.join(args.outdir, "sfm_out"),
         pairs="sequential",
         key=jax.random.PRNGKey(0),
+        # rendered keypoints are ~pixel-accurate (supersampled bilinear
+        # texture), not the sub-pixel photographs the castle threshold
+        # assumes: 1 px at f=1.1*W is ~1.4e-3 in normalized coordinates
+        ransac_options={"reprojection_error_allowed": 2e-3},
     )
     wall = time.time() - t0
     est_C = camera_centers(res["cams"])

@@ -92,5 +92,57 @@ def main():
         )
 
 
+
+
+def ba_collective_overhead():
+    """Same local-vs-collective proxy for distributed BA: one sharded
+    Schur step with the psums active vs the identical local compute on
+    1 device, at constant observations/device."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_device", "cpu")
+
+    from spectavi_tpu.parallel.mesh import host_cpu_mesh
+    from spectavi_tpu.sfm.distributed import make_sharded_ba_step
+
+    rng = np.random.default_rng(1)
+    C, M, obs_per_dev = 20, 2000, 4096
+    cams = rng.normal(0, 0.1, (C, 6)).astype(np.float32)
+    pts = rng.standard_normal((M, 3)).astype(np.float32) * [1, 1, 0.4] + [0, 0, 5]
+
+    def time_fn(fn, *a, reps=5):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    print(f"distributed-BA collective proxy: {C} cams, {M} pts, "
+          f"{obs_per_dev} obs/device, cg=25 (obs/device constant, "
+          "so a flat wall = 100% weak-scaling of the comm pattern)")
+    for n in (1, 2, 4, 8):
+        mesh = host_cpu_mesh(n, n_blocks=1)
+        O = obs_per_dev * n
+        ci = rng.integers(0, C, O).astype(np.int32)
+        pi = rng.integers(0, M, O).astype(np.int32)
+        uv = rng.normal(0, 0.3, (O, 2)).astype(np.float32)
+        w = np.ones(O, np.float32)
+        step = make_sharded_ba_step(mesh, axis="pairs", cg_iters=25)
+        fixed = np.zeros(C, bool)
+        fixed[0] = True
+        args = (jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(ci),
+                jnp.asarray(pi), jnp.asarray(uv), jnp.asarray(w),
+                jnp.asarray(1e-3, jnp.float32), jnp.asarray(fixed))
+        t = time_fn(step, *args)
+        print(f"  {n} device(s): sharded BA step {t*1e3:7.1f} ms "
+              f"({obs_per_dev} obs/dev constant)")
+
+
 if __name__ == "__main__":
     main()
+    ba_collective_overhead()

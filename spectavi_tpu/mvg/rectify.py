@@ -120,16 +120,83 @@ def _rectify_pair_host(P0, P1, im0, im1, sampling_factor):
         xi = np.trunc(xx).astype(np.int32)
         yi = np.trunc(yy).astype(np.int32)
         valid = (xi[None, :] >= 0) & (xi[None, :] < W) & (yi >= 0) & (yi < H)
-        xc = np.clip(xi, 0, W - 1)
-        yc = np.clip(yi, 0, H - 1)
-        vals = im[yc, np.broadcast_to(xc[None, :], yy.shape)]
-        vals = np.where(valid[..., None], vals, 0.0)
-        idx = np.where(valid, yi * W + xi[None, :], -1).astype(np.int32)
+        lin = yi * W + xi[None, :]
+        # flat 1-D take (numpy's broadcast fancy-indexing path is ~50x
+        # slower at this size); invalid entries read row 0, then zeroed
+        vals = im.reshape(-1, C)[np.where(valid, lin, 0)]
+        vals[~valid] = 0.0
+        idx = np.where(valid, lin, -1).astype(np.int32)
         return vals, idx
 
     r0, i0 = resample(im0, yy0)
     r1, i1 = resample(im1, yy1)
     return r0, r1, i0, i1
+
+
+@partial(jax.jit, static_argnames=("sampling_factor",))
+def _rectify_bbox(P0, P1, im0, im1, sampling_factor):
+    """Device pass 1: rectify + valid-region bounding box (4 scalars)."""
+    r0, r1, i0, i1 = rectify_pair(P0, P1, im0, im1, sampling_factor)
+    valid = (i0 != -1) | (i1 != -1)
+    R, S = valid.shape
+    anyrow = valid.any(axis=1)
+    anycol = valid.any(axis=0)
+    rows = jnp.arange(R)
+    cols = jnp.arange(S)
+    lowy = jnp.min(jnp.where(anyrow, rows, R))
+    highy = jnp.max(jnp.where(anyrow, rows, -1))
+    lowx = jnp.min(jnp.where(anycol, cols, S))
+    highx = jnp.max(jnp.where(anycol, cols, -1))
+    return (r0, r1, i0, i1), jnp.stack([lowy, highy, lowx, highx])
+
+
+@partial(jax.jit, static_argnames=("bbox", "quantize"))
+def _rectify_crop(rect, bbox, quantize):
+    """Device pass 2: slice to the bbox; optionally uint8-quantize the
+    images (the pipeline writes them as 8-bit anyway) so the host pull
+    moves 4x fewer bytes."""
+    r0, r1, i0, i1 = rect
+    ly, hy, lx, hx = bbox
+    out = []
+    for r in (r0, r1):
+        c = r[ly : hy + 1, lx : hx + 1, :]
+        if quantize:
+            c = jnp.clip(c * 255.0, 0.0, 255.0).astype(jnp.uint8)
+        out.append(c)
+    for i in (i0, i1):
+        out.append(i[ly : hy + 1, lx : hx + 1])
+    return tuple(out)
+
+
+def rectify_pair_quantized(P0, P1, im0, im1, sampling_factor=1.0):
+    """Pipeline fast path (TPU): device-side rectification, device-side
+    valid-region crop, uint8 image pull.
+
+    Returns ``(r0_u8, r1_u8, idx0, idx1)`` cropped.  Versus the parity
+    API: float32 line geometry (the trunc boundary can move a sample by
+    one source pixel in rare rows) and 8-bit pixel values (the pipeline
+    writes 8-bit jpgs regardless) — output products are visually
+    identical while the host pull drops from ~240 MB of f64 to ~30 MB
+    through this machine's ~7 MB/s device tunnel, and none of the math
+    runs on this image's very slow host cores.
+    """
+    im0 = np.asarray(im0)
+    im1 = np.asarray(im1)
+    if im0.shape != im1.shape:
+        raise TypeError("Input images must have same size.")
+    if im0.ndim == 2:
+        im0 = im0[..., None]
+        im1 = im1[..., None]
+    rect, bbox = _rectify_bbox(
+        jnp.asarray(P0, jnp.float32),
+        jnp.asarray(P1, jnp.float32),
+        jnp.asarray(im0, jnp.float32),
+        jnp.asarray(im1, jnp.float32),
+        float(sampling_factor),
+    )
+    ly, hy, lx, hx = (int(v) for v in np.asarray(bbox))  # one tiny pull
+    r0, r1, i0, i1 = _rectify_crop(rect, (ly, hy, lx, hx), True)
+    return np.asarray(r0), np.asarray(r1), np.asarray(i0), np.asarray(i1)
 
 
 def image_pair_rectification(P0, P1, im0, im1, sampling_factor=1.2, crop_invalid=True):

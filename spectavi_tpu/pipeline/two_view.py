@@ -157,15 +157,30 @@ def step5_rectify(ransac, K, image_paths, outdir=None, sampling_factor=1.0, quie
     P0 = K @ np.hstack((np.eye(3), np.zeros((3, 1))))
     im0 = imread(image_paths[0])
     im1 = imread(image_paths[1])
+    import jax
+
+    on_accel = jax.default_backend() != "cpu"
     with Timer("step5-computation", quiet):
-        r0, r1, ri0, ri1 = mvg.image_pair_rectification(
-            P0, P1, im0, im1, sampling_factor=sampling_factor
-        )
+        if on_accel:
+            # device fast path: f32 geometry, on-device crop, uint8
+            # pixel pull (the jpgs below are 8-bit regardless)
+            from spectavi_tpu.mvg.rectify import rectify_pair_quantized
+
+            r0u, r1u, ri0, ri1 = rectify_pair_quantized(
+                P0, P1, im0, im1, sampling_factor=sampling_factor
+            )
+            r0, r1 = r0u / 255.0, r1u / 255.0
+        else:
+            r0, r1, ri0, ri1 = mvg.image_pair_rectification(
+                P0, P1, im0, im1, sampling_factor=sampling_factor
+            )
+            r0u = np.clip(r0 * 255, 0, 255).astype("uint8")
+            r1u = np.clip(r1 * 255, 0, 255).astype("uint8")
     if outdir is not None:
         from PIL import Image
 
-        for r, p in ((r0, image_paths[0]), (r1, image_paths[1])):
-            arr = np.clip(r * 255, 0, 255).astype("uint8")
+        for r, p in ((r0u, image_paths[0]), (r1u, image_paths[1])):
+            arr = r[..., 0] if (r.ndim == 3 and r.shape[-1] == 1) else r
             Image.fromarray(arr).save(
                 os.path.join(outdir, "rect-" + os.path.basename(p))
             )

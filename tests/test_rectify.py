@@ -183,3 +183,32 @@ def test_rectify_device_path_matches_host(rng):
     h = _rectify_pair_host(P0, P1, im0, im1, 1.2)
     for a, b in zip(d, h):
         np.testing.assert_allclose(np.asarray(a), b, atol=1e-9)
+
+
+def test_rectify_quantized_pipeline_path(rng):
+    """The pipeline's device fast path (f32 geometry + on-device crop +
+    uint8 quantization) must agree with the parity API up to the
+    documented differences (8-bit pixels; rare one-pixel trunc shifts
+    from f32 line math)."""
+    from spectavi_tpu.mvg.rectify import rectify_pair_quantized
+
+    H, W = 24, 30
+    im0 = rng.random((H, W, 3))
+    im1 = rng.random((H, W, 3))
+    P0 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    a = 0.1
+    Rm = np.array(
+        [[np.cos(a), 0, np.sin(a)], [0, 1, 0], [-np.sin(a), 0, np.cos(a)]]
+    )
+    P1 = np.hstack([Rm, np.array([[0.45], [0.1], [0.02]])])
+    q0, q1, qi0, qi1 = rectify_pair_quantized(P0, P1, im0, im1, 1.0)
+    r0, r1, ri0, ri1 = mvg.image_pair_rectification(
+        P0, P1, im0, im1, sampling_factor=1.0
+    )
+    assert q0.dtype == np.uint8 and qi0.dtype == np.int32
+    assert q0.shape == r0.shape and qi1.shape == ri1.shape
+    for qi, ri in ((qi0, ri0), (qi1, ri1)):
+        assert (qi == ri).mean() > 0.98
+    for q, r in ((q0, r0), (q1, r1)):
+        same = np.abs(q.astype(int) - np.clip(r * 255, 0, 255).astype(int))
+        assert (same <= 1).mean() > 0.98
