@@ -7,6 +7,8 @@ normalization, BT.601 grayscale, ``Timer``) and the PLY writer from
 
 from __future__ import annotations
 
+import functools as _functools
+import os
 import time
 
 import numpy as np
@@ -30,21 +32,35 @@ class Timer:
             print(f"{self.description}: {self.elapsed}s")
 
 
-def rgb_to_gray(rgb):
+def rgb_to_gray(rgb, dtype=np.float64):
     """BT.601 luma weights, like the reference's ``rgb_to_gray``."""
     if rgb.ndim < 3:
-        return np.squeeze(rgb)
-    return rgb[..., :3] @ np.asarray([0.2989, 0.5870, 0.1140])
+        return np.squeeze(rgb).astype(dtype)
+    return rgb[..., :3].astype(dtype) @ np.asarray(
+        [0.2989, 0.5870, 0.1140], dtype
+    )
+
+
+@_functools.lru_cache(maxsize=8)
+def _decode(filename, mtime):
+    """Decoded raw pixel array, cached — the pipeline reads each image
+    for SIFT (grayscale), rectification (color) and PLY colors, and
+    this host's cores make repeated decodes+conversions measurable."""
+    from PIL import Image
+
+    im = np.asarray(Image.open(filename))
+    im.flags.writeable = False
+    return im
 
 
 def imread(filename, dtype="float64", force_grayscale=False):
     """Read an image, max-normalized for float dtypes (reference
     ``example/util.py:41-64``)."""
-    from PIL import Image
-
-    im = np.asarray(Image.open(filename))
+    im = _decode(filename, os.path.getmtime(filename))
     if force_grayscale:
-        im = rgb_to_gray(im)
+        # luma math in the output precision (f64 matches the reference
+        # bit-for-bit; the f32 pipeline path is ~4x faster on this host)
+        im = rgb_to_gray(im, np.float32 if dtype == "float32" else np.float64)
     im = im.astype(dtype)
     if dtype in ("float32", "float64"):
         # single max-normalization (as the reference does); guard the

@@ -169,7 +169,7 @@ def step5_rectify(ransac, K, image_paths, outdir=None, sampling_factor=1.0, quie
             r0u, r1u, ri0, ri1 = rectify_pair_quantized(
                 P0, P1, im0, im1, sampling_factor=sampling_factor
             )
-            r0, r1 = r0u / 255.0, r1u / 255.0
+            r0, r1 = r0u, r1u  # 8-bit products (what the jpgs store)
         else:
             r0, r1, ri0, ri1 = mvg.image_pair_rectification(
                 P0, P1, im0, im1, sampling_factor=sampling_factor

@@ -18,6 +18,7 @@ matching steps on ``/root/reference/data/castle/{01,02}.jpg``.
 """
 
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -37,25 +38,50 @@ BASELINE_R1 = os.path.join(
 KFILE = "/root/reference/data/castle/K.txt"
 
 
+_REBUILD = """
+import sys
+sys.path.insert(0, {root!r})
+import numpy as np, jax
+from spectavi_tpu.pipeline.io import read_txt_matrix
+from spectavi_tpu.pipeline.two_view import (
+    step3_estimate_essential, step4_triangulate,
+)
+data = np.load({fixture!r})
+K = read_txt_matrix({kfile!r})
+step3 = step3_estimate_essential(
+    data["xd"], data["yd"], K, key=jax.random.PRNGKey(0), quiet=True
+)
+RX, ransac = step4_triangulate(step3, quiet=True)
+np.savez({out!r}, cloud=RX[:, :3],
+         inlier_percent=ransac["inlier_percent"],
+         essential=ransac["essential"],
+         n_inliers=len(ransac["inlier_idx"]))
+"""
+
+
 @pytest.fixture(scope="module")
-def castle_cloud():
+def castle_cloud(tmp_path_factory):
     if not (os.path.exists(FIXTURE) and os.path.exists(BASELINE)):
         pytest.skip("castle fixture/baseline artifacts not present")
-    import jax
+    import subprocess
 
-    from spectavi_tpu.pipeline.io import read_txt_matrix
-    from spectavi_tpu.pipeline.two_view import (
-        step3_estimate_essential,
-        step4_triangulate,
+    # rebuild in a clean f32 CPU subprocess: this is a regression test
+    # of the SHIPPED pipeline (f32), and the suite-wide x64 flag would
+    # put RANSAC on a different numeric trajectory
+    out = str(tmp_path_factory.mktemp("castle") / "rebuilt.npz")
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    code = _REBUILD.format(root=ROOT, fixture=FIXTURE, kfile=KFILE, out=out)
+    subprocess.run(
+        [sys.executable, "-c", code], env=env, check=True, timeout=1200
     )
-
-    data = np.load(FIXTURE)
-    K = read_txt_matrix(KFILE)
-    step3 = step3_estimate_essential(
-        data["xd"], data["yd"], K, key=jax.random.PRNGKey(0), quiet=True
-    )
-    RX, ransac = step4_triangulate(step3, quiet=True)
-    return RX[:, :3], ransac
+    data = np.load(out)
+    ransac = {
+        "inlier_percent": float(data["inlier_percent"]),
+        "essential": data["essential"],
+        "n_inliers": int(data["n_inliers"]),
+    }
+    return data["cloud"], ransac
 
 
 def test_castle_inlier_consensus(castle_cloud):
@@ -67,7 +93,7 @@ def test_castle_inlier_consensus(castle_cloud):
     _, ransac = castle_cloud
     assert ransac["inlier_percent"] > 0.45
     assert np.isfinite(ransac["essential"]).all()
-    assert len(ransac["inlier_idx"]) > 1500
+    assert ransac["n_inliers"] > 1500
 
 
 def test_castle_ate_vs_baseline(castle_cloud):
