@@ -49,6 +49,9 @@ def main(argv=None):
                         help="open the sparse cloud interactively with "
                         "open3d (reference ex01's final viz step; falls "
                         "back to a message when open3d is unavailable)")
+    parser.add_argument("--trace", default=None, metavar="DIR",
+                        help="capture a jax.profiler device trace of the "
+                        "run to DIR (view with tensorboard)")
     args = parser.parse_args(argv)
 
     import jax
@@ -57,21 +60,29 @@ def main(argv=None):
     if args.reproj is not None:
         ransac_options = {"reprojection_error_allowed": args.reproj,
                           "find_best_even_in_failure": True}
-    run_two_view(
-        args.images,
-        args.K,
-        outdir=args.outdir,
-        matching_method=args.matching_method,
-        min_ratio=args.min_ratio,
-        ransac_quality=args.ransac_quality,
-        rsf=args.rsf,
-        cache=args.cache,
-        key=jax.random.PRNGKey(args.seed),
-        ransac_options=ransac_options,
-        ba=args.ba,
-        distortion=args.distortion,
-        plots=args.plots,
-    )
+    import contextlib
+
+    trace_ctx = contextlib.nullcontext()
+    if args.trace:
+        from spectavi_tpu.utils.profiling import trace
+
+        trace_ctx = trace(args.trace)
+    with trace_ctx:
+        run_two_view(
+            args.images,
+            args.K,
+            outdir=args.outdir,
+            matching_method=args.matching_method,
+            min_ratio=args.min_ratio,
+            ransac_quality=args.ransac_quality,
+            rsf=args.rsf,
+            cache=args.cache,
+            key=jax.random.PRNGKey(args.seed),
+            ransac_options=ransac_options,
+            ba=args.ba,
+            distortion=args.distortion,
+            plots=args.plots,
+        )
     if args.view:
         import os
 

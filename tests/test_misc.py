@@ -1,6 +1,7 @@
 """Coverage for smaller branches: cubic solver, batch SIFT API,
 homogeneous helpers, ann k>2, pipeline match cache."""
 
+import os
 import numpy as np
 import jax.numpy as jnp
 
@@ -168,3 +169,21 @@ def test_step4_ba_polish(rng):
     polished = total_reproj(ransac_ba["camera"], RX_ba)
     assert polished <= plain * 1.0001
     assert np.isfinite(RX_ba).all()
+
+
+def test_profiler_trace_writes_profile(tmp_path):
+    """The observability harness (utils/profiling.trace) must produce a
+    TensorBoard-readable profile for a traced device computation."""
+    import glob
+
+    import jax.numpy as jnp
+
+    from spectavi_tpu.utils.profiling import annotate, trace
+
+    logdir = str(tmp_path / "prof")
+    with trace(logdir):
+        with annotate("tiny-matmul"):
+            x = jnp.ones((64, 64))
+            float((x @ x).sum())
+    files = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    assert files, f"no profile written under {logdir}"
