@@ -1,0 +1,117 @@
+"""End-to-end multi-view SfM driver test on tiny rendered views.
+
+Exercises ``pipeline/sfm.py::run_sfm`` (SIFT -> pairwise RANSAC ->
+tracks -> pose chaining -> N-view triangulation -> BA -> outputs ->
+checkpoint/resume) on a 3-view rendered heightfield with known
+ground-truth cameras — the same renderer as
+``benchmarks/bench_multiview_synthetic.py`` at test scale.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(ROOT, "benchmarks"))
+
+
+def _tiny_dataset(tmp_path, rng, nviews=3, H=120, W=160):
+    from PIL import Image
+
+    import bench_multiview_synthetic as mv
+
+    # corner-rich smoothed-noise texture (no external data dependency)
+    tex = rng.random((160, 220))
+    for _ in range(2):
+        tex = (
+            tex
+            + np.roll(tex, 1, 0) + np.roll(tex, -1, 0)
+            + np.roll(tex, 1, 1) + np.roll(tex, -1, 1)
+        ) / 5.0
+    tex = (tex - tex.min()) / max(float(np.ptp(tex)), 1e-9)
+    Ht, Wt = tex.shape
+    aspect = Wt / Ht
+
+    centers = rng.uniform(-0.6, 0.6, size=(5, 2)) * [aspect, 1.0]
+    amps = rng.uniform(0.3, 0.5, size=5) * rng.choice([-1, 1], 5)
+    widths = rng.uniform(0.35, 0.7, size=5)
+
+    def height(x, y):
+        h = 0.1 * (x * x + y * y)
+        for (cx, cy), a, w in zip(centers, amps, widths):
+            h = h + a * np.exp(-((x - cx) ** 2 + (y - cy) ** 2) / (2 * w * w))
+        return h
+
+    def texture_at(x, y):
+        u = np.clip((x / aspect * 0.5 + 0.5) * (Wt - 1), 0, Wt - 1.001)
+        v = np.clip((y * 0.5 + 0.5) * (Ht - 1), 0, Ht - 1.001)
+        u0, v0 = u.astype(int), v.astype(int)
+        fu, fv = u - u0, v - v0
+        return (
+            tex[v0, u0] * (1 - fu) * (1 - fv)
+            + tex[v0, u0 + 1] * fu * (1 - fv)
+            + tex[v0 + 1, u0] * (1 - fu) * fv
+            + tex[v0 + 1, u0 + 1] * fu * fv
+        )
+
+    f = 1.1 * W
+    K = np.array([[f, 0, W / 2.0], [0, f, H / 2.0], [0, 0, 1.0]])
+    np.savetxt(tmp_path / "K.txt", K)
+    target = np.array([0.0, 0.0, 4.0])
+    paths, gt_C = [], []
+    for i in range(nviews):
+        s = i / (nviews - 1) - 0.5
+        C = np.array([1.4 * s, 0.2 * s, 0.3 * abs(s)])
+        R, t = mv.look_at(C, target)
+        im = mv.render(height, texture_at, K, R, t, H, W)
+        p = str(tmp_path / f"v{i}.png")
+        Image.fromarray((np.clip(im, 0, 1) * 255).astype(np.uint8)).save(p)
+        paths.append(p)
+        gt_C.append(C)
+    return paths, str(tmp_path / "K.txt"), np.asarray(gt_C)
+
+
+def test_run_sfm_end_to_end_with_checkpoint(tmp_path, rng):
+    import jax
+
+    from spectavi_tpu.pipeline.sfm import run_sfm
+    from spectavi_tpu.sfm.ate import ate_rmse, camera_centers
+
+    paths, kfile, gt_C = _tiny_dataset(tmp_path, rng)
+    ckpt = str(tmp_path / "state.npz")
+    out = str(tmp_path / "out")
+    res = run_sfm(
+        paths,
+        kfile,
+        outdir=out,
+        key=jax.random.PRNGKey(0),
+        quiet=True,
+        checkpoint=ckpt,
+        ransac_options={"reprojection_error_allowed": 3e-3},
+    )
+    assert res["cams"].shape[0] == 3
+    assert res["points"].shape[0] > 30
+    assert np.isfinite(res["points"]).all()
+    assert os.path.exists(os.path.join(out, "sparse_cloud.ply"))
+    assert os.path.exists(os.path.join(out, "poses.txt"))
+    assert os.path.exists(ckpt)
+
+    # recovered trajectory within 10% of span of the ground truth
+    est_C = camera_centers(res["cams"])
+    span = np.ptp(gt_C, axis=0).max()
+    assert ate_rmse(est_C, gt_C) < 0.10 * span
+
+    # resume from the checkpoint: BA warm-start, consistent outputs
+    res2 = run_sfm(
+        paths,
+        kfile,
+        key=jax.random.PRNGKey(0),
+        quiet=True,
+        checkpoint=ckpt,
+        ransac_options={"reprojection_error_allowed": 3e-3},
+    )
+    assert res2["points"].shape == res["points"].shape
+    est_C2 = camera_centers(res2["cams"])
+    assert ate_rmse(est_C2, est_C) < 0.02 * span
