@@ -112,10 +112,42 @@ def bench_tpu(x, y):
     return per_pair, tpu_idx, tpu_dist
 
 
+def _arm_watchdog(seconds=1200):
+    """Print an explanatory JSON line and exit if the accelerator
+    tunnel never responds (its relay can die under sustained load;
+    backend discovery then blocks forever) — a recorded reason beats a
+    silent hang."""
+    import threading
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "match_pairs_per_s_per_chip",
+                    "value": 0.0,
+                    "unit": "pairs/s",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU tunnel unresponsive for {seconds}s "
+                    "(relay down); see docs/ROUND2.md for the recorded "
+                    "25.9k pairs/s measurement",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     x, y = make_descriptors()
     cpu_dt, _, _ = bench_cpu(x, y)
+    wd = _arm_watchdog()
     tpu_dt, tpu_idx, tpu_dist = bench_tpu(x, y)
+    wd.cancel()
 
     # exactness gate: matcher must agree with the numpy L2 oracle on a
     # query subset before its timing counts
