@@ -107,7 +107,7 @@ def _cells_pass(members, member_valid, qdesc, qrows_valid, ydesc):
     return jax.lax.map(one_cell, (members, member_valid, qdesc, qrows_valid))
 
 
-def nn_ivf(x, y, k=2, n_cells=None, n_probe=8, kmeans_iters=5, key=None):
+def nn_ivf(x, y, k=2, n_cells=None, n_probe=16, kmeans_iters=5, key=None):
     """Approximate k-NN (k <= 2) of ``y`` rows among ``x`` rows via IVF.
 
     Same output contract as the exact matchers: ``(nn_idx (Y, k)
