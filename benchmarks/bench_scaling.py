@@ -104,7 +104,10 @@ def ba_collective_overhead():
     jax.config.update("jax_default_device", "cpu")
 
     from spectavi_tpu.parallel.mesh import host_cpu_mesh
-    from spectavi_tpu.sfm.distributed import make_sharded_ba_step
+    from spectavi_tpu.sfm.distributed import (
+        make_sharded_ba_step,
+        shard_observations_by_point,
+    )
 
     rng = np.random.default_rng(1)
     C, M, obs_per_dev = 20, 2000, 4096
@@ -132,14 +135,25 @@ def ba_collective_overhead():
         pi = rng.integers(0, M, O).astype(np.int32)
         uv = rng.normal(0, 0.3, (O, 2)).astype(np.float32)
         w = np.ones(O, np.float32)
-        step = make_sharded_ba_step(mesh, axis="pairs", cg_iters=25)
         fixed = np.zeros(C, bool)
         fixed[0] = True
-        args = (jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(ci),
-                jnp.asarray(pi), jnp.asarray(uv), jnp.asarray(w),
-                jnp.asarray(1e-3, jnp.float32), jnp.asarray(fixed))
-        t = time_fn(step, *args)
-        print(f"  {n} device(s): sharded BA step {t*1e3:7.1f} ms "
+        walls = {}
+        for aligned in (False, True):
+            step = make_sharded_ba_step(
+                mesh, axis="pairs", cg_iters=25, point_aligned=aligned
+            )
+            if aligned:
+                ci_s, pi_s, uv_s, w_s = shard_observations_by_point(
+                    n, ci, pi, uv, w
+                )
+            else:
+                ci_s, pi_s, uv_s, w_s = ci, pi, uv, w
+            args = (jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(ci_s),
+                    jnp.asarray(pi_s), jnp.asarray(uv_s), jnp.asarray(w_s),
+                    jnp.asarray(1e-3, jnp.float32), jnp.asarray(fixed))
+            walls[aligned] = time_fn(step, *args)
+        print(f"  {n} device(s): interleaved {walls[False]*1e3:7.1f} ms | "
+              f"point-aligned {walls[True]*1e3:7.1f} ms "
               f"({obs_per_dev} obs/dev constant)")
 
 

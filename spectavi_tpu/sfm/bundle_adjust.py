@@ -194,15 +194,25 @@ def _ba_quantities(cams, pts, cam_idx, pt_idx, uv, w, lam, k=None, psum=None):
     return U, Vinv, Wblk, bc, bp, cost
 
 
-def _schur_matvec(v, U, Vinv, Wblk, cam_idx, pt_idx, M, psum=None):
-    """S v with S = U - W V^-1 W^T, matrix-free over observations."""
+def _schur_matvec(v, U, Vinv, Wblk, cam_idx, pt_idx, M, psum=None,
+                  psum_point="same"):
+    """S v with S = U - W V^-1 W^T, matrix-free over observations.
+
+    ``psum_point`` reduces the point-space accumulation across shards;
+    pass ``None`` under the point-aligned sharding contract (every
+    observation of a point on one shard), where the local segment sum
+    is already complete — the per-iteration communication then shrinks
+    from O(M x 3) + O(C x 6) to just O(C x 6).
+    """
+    if psum_point == "same":
+        psum_point = psum
     C = U.shape[0]
     Uv = jnp.einsum("cij,cj->ci", U, v)
     # y_p = sum_obs W^T v[cam]  (point-space accumulation)
     Wt_v = jnp.einsum("oji,oj->oi", Wblk, v[cam_idx])  # (O, 3)
     y = _segsum(Wt_v, pt_idx, M)
-    if psum is not None:
-        y = psum(y)
+    if psum_point is not None:
+        y = psum_point(y)
     z = jnp.einsum("mij,mj->mi", Vinv, y)  # (M, 3)
     Wz = jnp.einsum("oij,oj->oi", Wblk, z[pt_idx])  # (O, 6)
     back = _segsum(Wz, cam_idx, C)
@@ -211,7 +221,8 @@ def _schur_matvec(v, U, Vinv, Wblk, cam_idx, pt_idx, M, psum=None):
     return Uv - back
 
 
-def _solve_schur(U, Vinv, Wblk, bc, bp, cam_idx, pt_idx, fixed_cam_mask, psum=None, cg_iters=100):
+def _solve_schur(U, Vinv, Wblk, bc, bp, cam_idx, pt_idx, fixed_cam_mask,
+                 psum=None, psum_point="same", cg_iters=100):
     """Solve the reduced camera system with CG, then back-substitute
     point updates.  ``fixed_cam_mask (C,)`` gauge-fixes cameras."""
     C = U.shape[0]
@@ -230,7 +241,10 @@ def _solve_schur(U, Vinv, Wblk, bc, bp, cam_idx, pt_idx, fixed_cam_mask, psum=No
 
     def matvec(v):
         v = jnp.where(free, v, 0.0)
-        out = _schur_matvec(v, U, Vinv, Wblk, cam_idx, pt_idx, M, psum)
+        out = _schur_matvec(
+            v, U, Vinv, Wblk, cam_idx, pt_idx, M, psum,
+            psum_point=psum_point,
+        )
         return jnp.where(free, out, v)
 
     dc, _ = jax.scipy.sparse.linalg.cg(matvec, rhs, maxiter=cg_iters)

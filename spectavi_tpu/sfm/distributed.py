@@ -27,7 +27,8 @@ from jax.experimental.shard_map import shard_map
 from spectavi_tpu.sfm.bundle_adjust import _ba_quantities, _solve_schur
 
 
-def make_sharded_ba_step(mesh, axis="pairs", cg_iters=100):
+def make_sharded_ba_step(mesh, axis="pairs", cg_iters=100,
+                         point_aligned=False):
     """Build a jitted LM step with observations sharded over ``axis``.
 
     Inputs: ``cams (C, 6)``, ``pts (M, 3)`` replicated;
@@ -35,18 +36,30 @@ def make_sharded_ba_step(mesh, axis="pairs", cg_iters=100):
     by the axis size; pad with ``w = 0`` observations);
     ``lam`` scalar, ``fixed_cam_mask (C,)`` replicated.
 
+    ``point_aligned=True`` declares the landmark partition contract
+    (use :func:`shard_observations_by_point`): every observation of a
+    given point lives on ONE shard.  Point-space segment sums are then
+    already complete locally, so the per-CG-iteration collectives drop
+    from two psums — one of them the O(M x 3) point vector — to a
+    single O(C x 6) camera reduce (~1.2 KB at 50 cameras): the
+    communication volume per iteration becomes independent of the
+    number of landmarks.  (V and bp still take one O(M) psum per STEP
+    during setup, where masked zero contributions from other shards
+    are correct.)
+
     Returns ``step(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed) ->
     (new_cams, new_pts, cost)``.
     """
 
     def local(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed):
         psum = lambda t: jax.lax.psum(t, axis)
+        psum_pt = None if point_aligned else psum
         U, Vinv, Wblk, bc, bp, cost = _ba_quantities(
             cams, pts, cam_idx, pt_idx, uv, w, lam, psum=psum
         )
         dc, dp = _solve_schur(
             U, Vinv, Wblk, bc, bp, cam_idx, pt_idx, fixed, psum=psum,
-            cg_iters=cg_iters,
+            psum_point=psum_pt, cg_iters=cg_iters,
         )
         return cams + dc, pts + dp, cost
 
@@ -69,6 +82,51 @@ def make_sharded_ba_step(mesh, axis="pairs", cg_iters=100):
         check_rep=False,
     )
     return jax.jit(sharded)
+
+
+def shard_observations_by_point(n_shards, cam_idx, pt_idx, uv, w):
+    """Partition observations so every observation of a given point
+    lands on ONE shard (the landmark partition of distributed BA) —
+    the contract behind ``make_sharded_ba_step(point_aligned=True)``.
+
+    Points are assigned to shards greedily by descending observation
+    count (longest-processing-time balancing), then each shard's block
+    is padded with zero-weight observations to the common length.
+    Returns ``(cam_idx, pt_idx, uv, w)`` with leading dimension
+    ``n_shards * per_shard``, laid out shard-major (shard i's rows are
+    ``[i * per_shard, (i + 1) * per_shard)``) — ready to device_put
+    with a ``P(axis)`` sharding.
+    """
+    import numpy as np
+
+    cam_idx = np.asarray(cam_idx)
+    pt_idx = np.asarray(pt_idx)
+    uv = np.asarray(uv)
+    w = np.asarray(w)
+    pts, counts = np.unique(pt_idx, return_counts=True)
+    order = np.argsort(-counts)
+    load = np.zeros(n_shards, np.int64)
+    shard_of_pt = {}
+    for j in order:
+        s = int(np.argmin(load))
+        shard_of_pt[int(pts[j])] = s
+        load[s] += counts[j]
+    per_shard = int(load.max())
+    O_out = n_shards * per_shard
+    ci = np.zeros(O_out, cam_idx.dtype)
+    pi = np.zeros(O_out, pt_idx.dtype)
+    uvo = np.zeros((O_out, uv.shape[1]), uv.dtype)
+    wo = np.zeros(O_out, w.dtype)
+    cursor = np.arange(n_shards) * per_shard
+    for o in range(len(cam_idx)):
+        s = shard_of_pt[int(pt_idx[o])]
+        at = cursor[s]
+        ci[at] = cam_idx[o]
+        pi[at] = pt_idx[o]
+        uvo[at] = uv[o]
+        wo[at] = w[o]
+        cursor[s] += 1
+    return ci, pi, uvo, wo
 
 
 def pad_observations(cam_idx, pt_idx, uv, w, multiple):

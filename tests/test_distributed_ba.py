@@ -92,3 +92,48 @@ def test_sharded_ba_converges(rng):
         costs.append(float(cost))
     final = float(ba_cost(cams_j, pts_j, jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv), jnp.asarray(w)))
     assert final < costs[0] * 1e-3
+
+
+def test_point_aligned_sharding_matches_local(rng):
+    """The landmark partition (point-aligned observation sharding) must
+    give the same LM step as the single-device solver while skipping
+    the per-CG-iteration point-space psum entirely."""
+    from spectavi_tpu.sfm.distributed import shard_observations_by_point
+
+    cams, pts, ci, pi, uv = _synthetic_scene(rng, C=5, M=80)
+    cams_n = cams + 0.01 * rng.standard_normal(cams.shape) * (np.arange(5) > 0)[:, None]
+    pts_n = pts + 0.03 * rng.standard_normal(pts.shape)
+    w = np.ones(len(uv))
+    fixed = np.zeros(5, dtype=bool)
+    fixed[0] = True
+
+    mesh = host_cpu_mesh(8, n_blocks=1)
+    step = make_sharded_ba_step(mesh, axis="pairs", cg_iters=120,
+                                point_aligned=True)
+    ci8, pi8, uv8, w8 = shard_observations_by_point(8, ci, pi, uv, w)
+    # contract check: every point's observations live on one shard
+    per = len(ci8) // 8
+    owner = {}
+    for o in range(len(ci8)):
+        if w8[o] > 0:
+            s = o // per
+            assert owner.setdefault(int(pi8[o]), s) == s
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    put_obs = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P("pairs")))
+    put_rep = lambda a: jax.device_put(jnp.asarray(a), NamedSharding(mesh, P()))
+
+    nc_s, np_s, cost_s = step(
+        put_rep(cams_n), put_rep(pts_n),
+        put_obs(ci8), put_obs(pi8), put_obs(uv8), put_obs(w8),
+        put_rep(jnp.asarray(1e-3)), put_rep(jnp.asarray(fixed)),
+    )
+    nc_l, np_l, cost_l = ba_step(
+        jnp.asarray(cams_n), jnp.asarray(pts_n),
+        jnp.asarray(ci), jnp.asarray(pi), jnp.asarray(uv), jnp.asarray(w),
+        jnp.asarray(1e-3), jnp.asarray(fixed), cg_iters=120,
+    )
+    assert np.isclose(float(cost_s), float(cost_l), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(nc_s), np.asarray(nc_l), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(np_s), np.asarray(np_l), atol=5e-4)
