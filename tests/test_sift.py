@@ -180,3 +180,24 @@ def test_desc_kernel_interpret_parity(rng):
             )
         else:
             assert np.all(raw[k] == 0.0)
+
+
+def test_sift_blank_image_no_keypoints():
+    """An all-constant image has no DoG extrema: (0, 132) out, no crash."""
+    out = sift_filter(np.zeros((64, 64), np.float32))
+    assert out.shape == (0, 132)
+
+
+def test_sift_batch_mixed_shapes(rng):
+    """sift_filter_batch groups same-shape images; mixed shapes must
+    return each image's own result in order."""
+    im_a = rng.random((48, 64)).astype(np.float32)
+    im_b = rng.random((64, 48)).astype(np.float32)
+    from spectavi_tpu.features.sift import sift_filter_batch
+
+    batch = sift_filter_batch([im_a, im_b, im_a])
+    solo_a = sift_filter(im_a)
+    solo_b = sift_filter(im_b)
+    np.testing.assert_allclose(batch[0], solo_a, atol=1e-5)
+    np.testing.assert_allclose(batch[1], solo_b, atol=1e-5)
+    np.testing.assert_allclose(batch[2], solo_a, atol=1e-5)
