@@ -19,6 +19,17 @@ every output element), the result is pulled by value, and the
 throughput is the SLOPE between two rep counts — which cancels the
 constant tunnel latency exactly.
 
+Robustness (the tunnel's relay process can die under load, round 2
+recorded a 1200 s hang):
+
+1. the CPU baseline is measured FIRST and is always reported;
+2. relay liveness is probed with a plain TCP connect before any JAX
+   import — a dead relay fails in milliseconds, not watchdog-minutes;
+3. the TPU measurement runs in a SUBPROCESS with its own watchdog and
+   is retried with backoff (a wedged attempt cannot poison the next);
+4. the single stdout JSON line always carries the partial results and
+   a machine-readable ``error`` when the accelerator was unreachable.
+
 Baseline: the reference's own SSE backend cannot be built here (its
 submodules are not checked out), so the denominator is
 ``native/hostops.cpp`` — an independent, faithful re-implementation of
@@ -26,11 +37,13 @@ the reference's SSE2 ``_mm_sad_epu8`` + OpenMP + pruning kernel
 (src/BruteForceNnL1K2.h) — measured on this machine's CPU with all
 cores, matching the same pair.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
 import os
+import socket
+import subprocess
 import sys
 import time
 
@@ -43,6 +56,13 @@ N_ROWS = 4096
 DIM = 128
 R_SMALL = 256
 R_BIG = 2304
+
+# The axon relay multiplexes these local ports over its external
+# transport; 8093 carries remote_compile.  If nothing listens, the
+# tunnel is definitively down and every TPU op would hang forever.
+RELAY_PORTS = (8082, 8093)
+ATTEMPT_TIMEOUTS = (420, 480, 480)  # per-attempt watchdogs, seconds
+ATTEMPT_BACKOFFS = (30, 60)  # sleep between attempts
 
 
 def make_descriptors():
@@ -59,6 +79,17 @@ def make_descriptors():
     noise = rng.normal(0, 6.0, size=(N_ROWS, DIM))
     y = np.clip(base[idx] + noise, 0, 255).astype(np.uint8)
     return x, y
+
+
+def relay_alive(timeout=2.0):
+    """True iff the TPU tunnel's local relay accepts TCP connections."""
+    for port in RELAY_PORTS:
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=timeout):
+                pass
+        except OSError:
+            return False
+    return True
 
 
 def bench_cpu(x, y, reps=3):
@@ -112,74 +143,107 @@ def bench_tpu(x, y):
     return per_pair, tpu_idx, tpu_dist
 
 
-def _arm_watchdog(seconds=1200):
-    """Print an explanatory JSON line and exit if the accelerator
-    tunnel never responds (its relay can die under sustained load;
-    backend discovery then blocks forever) — a recorded reason beats a
-    silent hang."""
-    import threading
-
-    def fire():
-        print(
-            json.dumps(
-                {
-                    "metric": "match_pairs_per_s_per_chip",
-                    "value": 0.0,
-                    "unit": "pairs/s",
-                    "vs_baseline": 0.0,
-                    "error": f"TPU tunnel unresponsive for {seconds}s "
-                    "(relay down); see docs/ROUND2.md for the recorded "
-                    "25.9k pairs/s measurement",
-                }
-            ),
-            flush=True,
-        )
-        os._exit(3)
-
-    t = threading.Timer(seconds, fire)
-    t.daemon = True
-    t.start()
-    return t
-
-
-def main():
+def tpu_child():
+    """Subprocess entry: measure, oracle-check, print one JSON line."""
     x, y = make_descriptors()
-    cpu_dt, _, _ = bench_cpu(x, y)
-    wd = _arm_watchdog()
-    tpu_dt, tpu_idx, tpu_dist = bench_tpu(x, y)
-    wd.cancel()
+    per_pair, tpu_idx, tpu_dist = bench_tpu(x, y)
 
     # exactness gate: matcher must agree with the numpy L2 oracle on a
-    # query subset before its timing counts
+    # query subset before its timing counts (full 4096^2 int64
+    # broadcast would exhaust this 16 GB host)
     sub = 256
     d = ((x.astype(np.int64)[None] - y[:sub].astype(np.int64)[:, None]) ** 2).sum(-1)
     gd = np.sort(d, axis=1)[:, :2]
-    if not np.array_equal(tpu_dist[:sub].astype(np.int64), gd):
-        print(
-            json.dumps(
-                {
-                    "metric": "match_pairs_per_s_per_chip",
-                    "value": 0.0,
-                    "unit": "pairs/s",
-                    "vs_baseline": 0.0,
-                    "error": "accelerator distances disagree with oracle",
-                }
+    ok = bool(np.array_equal(tpu_dist[:sub].astype(np.int64), gd))
+    print(json.dumps({"ok": ok, "per_pair_s": per_pair}), flush=True)
+    sys.exit(0 if ok else 4)
+
+
+def run_tpu_attempts(record):
+    """Try the TPU measurement up to len(ATTEMPT_TIMEOUTS) times in
+    subprocesses.  Returns per-pair seconds or None; annotates
+    ``record`` with attempt outcomes."""
+    outcomes = []
+    for i, budget in enumerate(ATTEMPT_TIMEOUTS):
+        if i:
+            time.sleep(ATTEMPT_BACKOFFS[min(i - 1, len(ATTEMPT_BACKOFFS) - 1)])
+        if not relay_alive():
+            outcomes.append("relay_down")
+            record["attempts"] = outcomes
+            continue
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--tpu-child"],
+                capture_output=True,
+                text=True,
+                timeout=budget,
             )
-        )
+        except subprocess.TimeoutExpired:
+            outcomes.append(f"watchdog_{budget}s")
+            record["attempts"] = outcomes
+            continue
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            child = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            tail = (proc.stderr or "").strip().splitlines()[-3:]
+            outcomes.append("crash:" + " | ".join(tail)[-200:])
+            record["attempts"] = outcomes
+            continue
+        if not child.get("ok"):
+            outcomes.append("oracle_mismatch")
+            record["attempts"] = outcomes
+            # a wrong-answer kernel is not retryable
+            record["error"] = "accelerator distances disagree with oracle"
+            return None
+        outcomes.append("ok")
+        record["attempts"] = outcomes
+        return float(child["per_pair_s"])
+    return None
+
+
+def main():
+    if "--tpu-child" in sys.argv:
+        tpu_child()
         return
 
-    value = 1.0 / tpu_dt
+    record = {
+        "metric": "match_pairs_per_s_per_chip",
+        "value": 0.0,
+        "unit": "pairs/s",
+        "vs_baseline": 0.0,
+    }
+    x, y = make_descriptors()
+    cpu_dt, _, _ = bench_cpu(x, y)
     baseline = 1.0 / cpu_dt
-    print(
-        json.dumps(
-            {
-                "metric": "match_pairs_per_s_per_chip",
-                "value": round(value, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(value / baseline, 3),
-            }
+    record["cpu_baseline_pairs_per_s"] = round(baseline, 3)
+
+    if not relay_alive():
+        record["attempts"] = ["relay_down"]
+        record["error"] = (
+            "TPU tunnel relay is not listening (its ports accept no TCP "
+            "connections); CPU baseline measured and reported. Last "
+            "verified on-chip number: 25.9k pairs/s (docs/ROUND2.md)."
         )
-    )
+        print(json.dumps(record), flush=True)
+        return
+
+    per_pair = run_tpu_attempts(record)
+    if per_pair is None:
+        record.setdefault(
+            "error",
+            "TPU measurement failed after retries "
+            f"({record.get('attempts')}); CPU baseline measured and "
+            "reported. Last verified on-chip number: 25.9k pairs/s "
+            "(docs/ROUND2.md).",
+        )
+        print(json.dumps(record), flush=True)
+        return
+
+    value = 1.0 / per_pair
+    record["value"] = round(value, 3)
+    record["vs_baseline"] = round(value / baseline, 3)
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

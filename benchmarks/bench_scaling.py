@@ -150,7 +150,8 @@ def ba_collective_overhead():
                 ci_s, pi_s, uv_s, w_s = ci, pi, uv, w
             args = (jnp.asarray(cams), jnp.asarray(pts), jnp.asarray(ci_s),
                     jnp.asarray(pi_s), jnp.asarray(uv_s), jnp.asarray(w_s),
-                    jnp.asarray(1e-3, jnp.float32), jnp.asarray(fixed))
+                    jnp.asarray(1e-3, jnp.float32), jnp.asarray(fixed),
+                    jnp.zeros(2, jnp.float32))
             walls[aligned] = time_fn(step, *args)
         print(f"  {n} device(s): interleaved {walls[False]*1e3:7.1f} ms | "
               f"point-aligned {walls[True]*1e3:7.1f} ms "

@@ -1038,13 +1038,24 @@ def sift_filter(
     )[0]
 
 
-def sift_filter_batch(ims, nthread=None, **kw):
+def sift_filter_batch(
+    ims,
+    nthread=None,
+    peak_thresh=0.0,
+    edge_thresh=10.0,
+    magnif=3.0,
+    o_min=-1,
+    n_octaves=None,
+    max_kp_per_octave=32768,
+):
     """Batch SIFT (reference ``sift_filter_batch``): list in, list out.
 
     Images of equal shape are stacked and run through the vmapped
     per-octave programs together — the TPU-native replacement for the
     reference's OpenMP fork over images (``src/Spectavi.cpp:198-215``).
-    ``nthread`` kept for API parity (scheduling is XLA's job).
+    ``nthread`` kept for API parity (scheduling is XLA's job).  The
+    tuning keywords are declared explicitly so a misspelled kwarg
+    raises ``TypeError`` instead of being silently ignored.
     """
     del nthread
     ims = [np.asarray(im, dtype=np.float32) for im in ims]
@@ -1058,12 +1069,12 @@ def sift_filter_batch(ims, nthread=None, **kw):
     for shape, idxs in groups.items():
         res = _sift_batched_same_shape(
             [ims[i] for i in idxs],
-            kw.get("peak_thresh", 0.0),
-            kw.get("edge_thresh", 10.0),
-            kw.get("magnif", 3.0),
-            kw.get("o_min", -1),
-            kw.get("n_octaves", None),
-            kw.get("max_kp_per_octave", 32768),
+            peak_thresh,
+            edge_thresh,
+            magnif,
+            o_min,
+            n_octaves,
+            max_kp_per_octave,
         )
         for i, r in zip(idxs, res):
             out[i] = r

@@ -191,6 +191,9 @@ def nn_ivf(x, y, k=2, n_cells=None, n_probe=16, kmeans_iters=5, key=None):
     sel = np.argsort(cand_dist, axis=1, kind="stable")[:, :k]
     nn_idx = np.take_along_axis(cand_idx, sel, axis=1)
     nn_dist = np.take_along_axis(cand_dist, sel, axis=1)
-    # queries whose every candidate overflowed keep -1/inf (bounded by
-    # the capacity accounting; with default slack this is empty)
+    # a query whose every probed cell was empty (or overflowed) has no
+    # candidate: its distance stays inf and its index is pinned to 0 —
+    # NOT left at -1, which the uint64 cast would wrap to 2^64-1.
+    # Callers detect invalid slots via ``dist == inf``.
+    nn_idx[~np.isfinite(nn_dist)] = 0
     return nn_idx.astype(np.uint64), nn_dist.astype(np.float32)

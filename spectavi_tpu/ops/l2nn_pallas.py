@@ -46,6 +46,19 @@ _I32M = jnp.iinfo(jnp.int32).max
 _TX = 256  # database rows per tile; row index must fit the low 8 bits
 _TY = 2048  # query lanes per grid step
 
+# Packed-key overflow budget.  The kernel packs ``key = 256*d2 + row8``
+# into int32 with ``d2 = xx - 2*xy`` (query norm added back outside).
+# Per int8 dimension ``xx - 2*xy <= 128^2 + 2*128*128 = 49152``, so the
+# key stays exact only while ``256 * 49152 * Dp + 255 < 2^31`` AND the
+# padded-row sentinel still dominates every real key — both hold for
+# Dp = 128 (max real d2 = 6 291 456 < sentinel 8 388 352, max packed
+# sentinel key = 2 147 418 367 < 2^31-1) and BREAK at Dp = 256.  Inputs
+# pad D up to a multiple of 128, so the kernel accepts D <= 128 only;
+# :func:`l2_topk2_fused` routes wider descriptors to the XLA path.
+_D2_PER_DIM = 49152
+_MAX_D = 128
+_PAD_SENTINEL = (1 << 23) - _TX  # > _D2_PER_DIM*_MAX_D, packs within int32
+
 
 def _fused_kernel(xxk_ref, y_ref, x_ref, idx_ref, dist_ref, *, n_x_tiles):
     """One query tile: stream database tiles, carry running top-2."""
@@ -112,6 +125,13 @@ def l2_topk2_pallas(x, y, interpret=False):
     if x.dtype != jnp.int8 or y.dtype != jnp.int8:
         raise TypeError(f"int8 descriptors required, got {x.dtype}/{y.dtype}")
     X, D = x.shape
+    if D > _MAX_D:
+        raise ValueError(
+            f"l2_topk2_pallas packs distances into int32 keys that are "
+            f"exact only up to D={_MAX_D} (got D={D}); use "
+            "l2_topk2_fused/l2_topk_mxu, which route wide descriptors "
+            "to the XLA path"
+        )
     Y = y.shape[0]
     ty = _pow2_clip(Y, 128, _TY)
 
@@ -124,10 +144,11 @@ def l2_topk2_pallas(x, y, interpret=False):
     Yp = yp.shape[0]
 
     xx = jnp.sum(xp.astype(jnp.int32) ** 2, axis=1)
-    # padded database rows must never win: real |d2| <= 6.3M, and this
-    # sentinel keeps the packed key inside int32
+    # padded database rows must never win: the sentinel exceeds the
+    # largest real d2 (_D2_PER_DIM * Dp, guarded above) and still packs
+    # inside int32
     if padx:
-        xx = xx.at[X:].set((1 << 23) - _TX)
+        xx = xx.at[X:].set(_PAD_SENTINEL)
     row8 = jnp.arange(Xp, dtype=jnp.int32) % _TX
     xxk = (256 * xx + row8)[:, None]  # (Xp, 1)
 
@@ -183,6 +204,12 @@ def l2_topk2_fused(x, y, interpret=False):
     xi = _to_i8(x)
     yi = _to_i8(y)
     X, D = xi.shape
+    if D > _MAX_D:
+        # packed int32 keys overflow beyond 128 dims (see module
+        # constants); the XLA lowering is exact at any width
+        from spectavi_tpu.ops.l2nn import l2_topk_mxu
+
+        return l2_topk_mxu(xi, yi, k=2)
     shard = max(_TX, (_VMEM_DB_BYTES // max(D, 1)) // _TX * _TX)
     if X <= shard:
         return l2_topk2_pallas(xi, yi, interpret=interpret)

@@ -47,15 +47,18 @@ def make_sharded_ba_step(mesh, axis="pairs", cg_iters=100,
     during setup, where masked zero contributions from other shards
     are correct.)
 
-    Returns ``step(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed) ->
-    (new_cams, new_pts, cost)``.
+    Returns ``step(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed, k) ->
+    (new_cams, new_pts, cost)``.  ``k`` is the replicated shared radial
+    ``(k1, k2)`` distortion vector (pass zeros for a pure pinhole) —
+    the same model the single-device solver threads through
+    ``_ba_quantities`` (``sfm/bundle_adjust.py:85-94``).
     """
 
-    def local(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed):
+    def local(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed, k):
         psum = lambda t: jax.lax.psum(t, axis)
         psum_pt = None if point_aligned else psum
         U, Vinv, Wblk, bc, bp, cost = _ba_quantities(
-            cams, pts, cam_idx, pt_idx, uv, w, lam, psum=psum
+            cams, pts, cam_idx, pt_idx, uv, w, lam, k=k, psum=psum
         )
         dc, dp = _solve_schur(
             U, Vinv, Wblk, bc, bp, cam_idx, pt_idx, fixed, psum=psum,
@@ -75,6 +78,7 @@ def make_sharded_ba_step(mesh, axis="pairs", cg_iters=100,
             spec_obs,
             spec_obs,
             spec_obs,
+            spec_rep,
             spec_rep,
             spec_rep,
         ),

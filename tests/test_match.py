@@ -106,6 +106,31 @@ def test_pallas_l2_fused_sharded_merge(rng):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_pallas_l2_wide_descriptors_guarded(rng):
+    """Descriptors wider than 128 dims would overflow the kernel's
+    packed int32 keys: the raw kernel must refuse them and the fused
+    entry must route them to the exact XLA path."""
+    import jax.numpy as jnp
+
+    from spectavi_tpu.ops.l2nn_pallas import l2_topk2_fused, l2_topk2_pallas
+
+    D = 160  # pads to 256 > the 128-dim packed-key budget
+    x = rng.integers(0, 256, size=(300, D)).astype("uint8")
+    y = rng.integers(0, 256, size=(120, D)).astype("uint8")
+    xi = jnp.asarray((x.astype(np.int32) - 128).astype(np.int8))
+    yi = jnp.asarray((y.astype(np.int32) - 128).astype(np.int8))
+    with pytest.raises(ValueError, match="exact only up to D=128"):
+        l2_topk2_pallas(xi, yi, interpret=True)
+    ip, dp = l2_topk2_fused(jnp.asarray(x), jnp.asarray(y))
+    d = ((x.astype(np.int64)[None] - y.astype(np.int64)[:, None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(
+        np.asarray(dp).astype(np.int64), np.sort(d, 1)[:, :2]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ip), np.argsort(d, 1, kind="stable")[:, :2]
+    )
+
+
 def test_nn_l2k2_exact(rng):
     """The MXU L2 matcher must agree exactly with the numpy L2 oracle."""
     x = rng.integers(0, 255, size=(300, 128)).astype("uint8")
@@ -157,6 +182,49 @@ def test_nn_cascading_hash_budget(rng):
     )
     diff = np.sum(np.abs(gt_nni.astype(np.int64) - nni.astype(np.int64)) > 0)
     assert diff <= 2 * round(0.4 * 200)
+
+
+def test_nn_cascading_hash_bucketed_saves_compute(rng):
+    """The bucketed re-rank must (a) stay inside the reference's 40%
+    mismatch budget at auto params and (b) actually restrict each
+    query to a candidate set far smaller than the database — the
+    compute-saving property the reference's buckets exist for
+    (src/CascadingHashNn.h:208-245)."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectavi_tpu.match import nn_bruteforcel1k2, nn_cascading_hash
+    from spectavi_tpu.match.cascade_hash import _bucket_tables, _hash_codes
+
+    # clustered data (noisy resamples of 200 base rows), the regime
+    # hashing is for: i.i.d.-uniform data has no bucket structure and
+    # its 2nd-NN is a coin flip no approximate matcher can win
+    rows, dim = 2048, 64
+    base = rng.uniform(0, 255, size=(200, dim))
+    x = np.clip(
+        base[rng.integers(0, 200, rows)] + rng.normal(0, 6, (rows, dim)),
+        0, 255,
+    ) - 128
+    y = np.clip(
+        base[rng.integers(0, 200, rows)] + rng.normal(0, 6, (rows, dim)),
+        0, 255,
+    ) - 128
+    gi, _ = nn_bruteforcel1k2((x + 128).astype("uint8"), (y + 128).astype("uint8"))
+    hi, hd = nn_cascading_hash(x, y)
+    mism = (np.asarray(hi).astype(np.int64) != np.asarray(gi).astype(np.int64)).sum()
+    assert mism <= 2 * round(0.4 * rows), mism
+
+    # compute-saving property: candidate width K << X
+    m = int(np.floor(np.log2(rows / 6.0)))
+    codes_x, cand = _hash_codes(
+        jax.random.PRNGKey(0),
+        jnp.asarray(x.astype("float32")),
+        jnp.asarray(y.astype("float32")),
+        m, 2, 2,
+    )
+    members, valid, _ = _bucket_tables(np.asarray(codes_x), m)
+    K = 2 * 4 * members.shape[2]  # n * 2^g * L
+    assert K < rows // 4, (K, rows)
 
 
 def test_nn_cascading_hash_fallback_small(rng):

@@ -203,6 +203,16 @@ def test_sift_batch_mixed_shapes(rng):
     np.testing.assert_allclose(batch[2], solo_a, atol=1e-5)
 
 
+def test_sift_batch_rejects_unknown_kwargs():
+    """Misspelled tuning kwargs must fail loudly, not silently leave
+    the defaults in place (a caller 'setting' peak_tresh would
+    otherwise believe the threshold changed)."""
+    from spectavi_tpu.features.sift import sift_filter_batch
+
+    with pytest.raises(TypeError):
+        sift_filter_batch([np.zeros((32, 32), np.float32)], peak_tresh=5.0)
+
+
 def test_orient_kernel_interpret_parity(rng):
     """The Pallas patch-DMA orientation-histogram kernel must agree
     with a float64 numpy oracle of the vlfeat windowed 36-bin
