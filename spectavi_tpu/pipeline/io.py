@@ -32,6 +32,19 @@ class Timer:
             print(f"{self.description}: {self.elapsed}s")
 
 
+def write_metrics(path, metrics):
+    """Write a machine-readable per-run metrics record.
+
+    BASELINE.json names pairs/s, BA iters/s, keypoint/match/consensus
+    counts as recordable metrics; stdout prose is not scrapeable, so
+    every pipeline run drops a ``metrics.json`` next to its outputs.
+    """
+    import json
+
+    with open(path, "w") as f:
+        json.dump(metrics, f, indent=2, sort_keys=True, default=float)
+
+
 def rgb_to_gray(rgb, dtype=np.float64):
     """BT.601 luma weights, like the reference's ``rgb_to_gray``."""
     if rgb.ndim < 3:

@@ -60,22 +60,36 @@ def run_sfm(
     key=None,
     quiet=False,
     checkpoint=None,
+    init="pnp",
+    loss="huber",
 ):
     """Run incremental SfM over a list of images.
 
+    ``init`` selects the pose initializer: ``"pnp"`` (default)
+    registers each view by RANSAC-PnP against triangulated tracks with
+    periodic local BA (:func:`spectavi_tpu.sfm.incremental_poses` —
+    bounded drift on long chains), ``"chain"`` keeps the BFS
+    depth-ratio chaining.  ``loss`` is forwarded to the final bundle
+    adjustment (default Huber: one bad surviving track must not poison
+    the solution).
+
     Returns dict with ``cams (V, 6)``, ``points (T, 3)``, ``tracks``,
-    ``keypoints`` and writes ``sparse_cloud.ply`` + ``poses.txt`` when
-    ``outdir`` is given.
+    ``keypoints``, ``metrics`` and writes ``sparse_cloud.ply`` +
+    ``poses.txt`` + ``metrics.json`` when ``outdir`` is given.
     """
     V = len(image_paths)
     K = np.loadtxt(K_path)
     iK = np.linalg.inv(K)
     if key is None:
         key = jax.random.PRNGKey(0)
+    metrics = {"n_views": V, "pairs_mode": str(pairs), "init": init,
+               "loss": loss}
 
-    with Timer("sfm-sift", quiet):
+    with Timer("sfm-sift", quiet) as t_sift:
         ims = [imread(p, dtype="float32", force_grayscale=True) for p in image_paths]
         kps = sift_filter_batch(ims)
+    metrics["sift_seconds"] = t_sift.elapsed
+    metrics["keypoints_per_view"] = [int(kp.shape[0]) for kp in kps]
     if not quiet:
         for i, kp in enumerate(kps):
             print(f"  view {i}: {kp.shape[0]} keypoints")
@@ -105,18 +119,31 @@ def run_sfm(
 
     edges = {}
     pair_matches = {}
-    with Timer("sfm-pairs", quiet):
+    metrics["pairs"] = []
+    with Timer("sfm-pairs", quiet) as t_pairs:
         for (i, j) in pair_list:
             mi, mj = match_pair(kps[i], kps[j], min_ratio)
             if len(mi) < 10:
                 if not quiet:
                     print(f"  pair ({i},{j}): only {len(mi)} matches, skipped")
+                metrics["pairs"].append(
+                    {"pair": [i, j], "matches": int(len(mi)), "skipped": True}
+                )
                 continue
             key, sub = jax.random.split(key)
             x0 = np.hstack([pts_cal[i][mi], np.ones((len(mi), 1))])
             x1 = np.hstack([pts_cal[j][mj], np.ones((len(mj), 1))])
             res = mvg.ransac_fitter(x0, x1, options=ropts, key=sub)
             inl = res["inlier_idx"]
+            metrics["pairs"].append(
+                {
+                    "pair": [i, j],
+                    "matches": int(len(mi)),
+                    "inlier_percent": float(res["inlier_percent"]),
+                    "n_inliers": int(len(inl)),
+                    "success": bool(res["success"]),
+                }
+            )
             if not quiet:
                 print(
                     f"  pair ({i},{j}): {len(mi)} matches, "
@@ -134,10 +161,31 @@ def run_sfm(
 
     if not edges:
         raise RuntimeError("no usable image pairs")
+    metrics["pairs_seconds"] = t_pairs.elapsed
+    metrics["pairs_per_second"] = (
+        len(pair_list) / t_pairs.elapsed if t_pairs.elapsed else None
+    )
 
-    with Timer("sfm-graph", quiet):
-        cams0 = chain_poses(edges, V, pts_cal)
+    with Timer("sfm-graph", quiet) as t_graph:
         tracks = build_tracks(pair_matches, V)
+        init_used = init
+        if init == "pnp":
+            from spectavi_tpu.sfm import incremental_poses
+
+            try:
+                cams0, _ = incremental_poses(
+                    edges, V, pts_cal, tracks,
+                    reproj_thresh=3.0 * ropts["reprojection_error_allowed"],
+                    key=key,
+                )
+            except (RuntimeError, ValueError) as e:
+                if not quiet:
+                    print(f"  pnp init failed ({e}); falling back to chaining")
+                cams0 = chain_poses(edges, V, pts_cal)
+                init_used = "chain-fallback"
+        else:
+            cams0 = chain_poses(edges, V, pts_cal)
+        metrics["init_used"] = init_used
         ci, pi, uv = tracks_to_observations(tracks, pts_cal)
         P = np.concatenate(
             [
@@ -169,10 +217,22 @@ def run_sfm(
                     print(f"  resuming BA from checkpoint {checkpoint}")
                 cams0, X0 = c_ck, p_ck
 
-    with Timer("sfm-ba", quiet):
+    metrics["graph_seconds"] = t_graph.elapsed
+    metrics["n_tracks"] = int(tracks.shape[0])
+    metrics["n_observations"] = int(len(ci))
+
+    with Timer("sfm-ba", quiet) as t_ba:
         cams_ba, pts_ba, hist = bundle_adjust(
-            cams0, X0, ci, pi, uv, fixed_cameras=(0,), max_iters=ba_iters
+            cams0, X0, ci, pi, uv, fixed_cameras=(0,), max_iters=ba_iters,
+            loss=loss,
         )
+    metrics["ba_seconds"] = t_ba.elapsed
+    metrics["ba_accepted_iters"] = len(hist) - 1
+    metrics["ba_iters_per_second"] = (
+        (len(hist) - 1) / t_ba.elapsed if t_ba.elapsed else None
+    )
+    metrics["ba_cost_initial"] = float(hist[0])
+    metrics["ba_cost_final"] = float(hist[-1])
     if checkpoint is not None:
         from spectavi_tpu.sfm.checkpoint import save_sfm_state
 
@@ -181,13 +241,17 @@ def run_sfm(
         print(f"  tracks: {T}, BA cost {hist[0]:.3e} -> {hist[-1]:.3e}")
 
     if outdir is not None:
+        from spectavi_tpu.pipeline.io import write_metrics
+
         os.makedirs(outdir, exist_ok=True)
         write_ply(os.path.join(outdir, "sparse_cloud.ply"), pts_ba)
         np.savetxt(os.path.join(outdir, "poses.txt"), cams_ba)
+        write_metrics(os.path.join(outdir, "metrics.json"), metrics)
     return {
         "cams": cams_ba,
         "points": pts_ba,
         "tracks": tracks,
         "keypoints": kps,
         "ba_history": hist,
+        "metrics": metrics,
     }

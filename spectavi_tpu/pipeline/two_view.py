@@ -221,21 +221,34 @@ def run_two_view(
     quality preset (e.g. a looser ``reprojection_error_allowed`` for
     lenses with distortion the pinhole model cannot explain).
     """
+    import time as _time
+
     if outdir is not None:
         os.makedirs(outdir, exist_ok=True)
     K = np.loadtxt(K_path)
+    metrics = {
+        "images": [str(p) for p in image_paths],
+        "matching_method": matching_method,
+        "ransac_quality": ransac_quality,
+    }
 
     cache_file = os.path.join(outdir, "cache.npz") if outdir else None
     step2_out = None
     if cache and cache_file and os.path.exists(cache_file):
         data = np.load(cache_file)
         step2_out = (data["xd"], data["yd"])
+        metrics["match_cache_hit"] = True
     if step2_out is None:
+        t0 = _time.perf_counter()
         kps = step1_sift_detect(image_paths, quiet)
+        metrics["step1_seconds"] = _time.perf_counter() - t0
+        metrics["keypoints"] = [int(kps[0].shape[0]), int(kps[1].shape[0])]
         if not quiet:
             print("sift 1 #: ", kps[0].shape[0])
             print("sift 2 #: ", kps[1].shape[0])
+        t0 = _time.perf_counter()
         step2_out = step2_match_keypoints(kps, matching_method, min_ratio, quiet)
+        metrics["step2_seconds"] = _time.perf_counter() - t0
         if cache and cache_file:
             np.savez_compressed(cache_file, xd=step2_out[0], yd=step2_out[1])
         if plots and outdir is not None:
@@ -251,11 +264,17 @@ def run_two_view(
                 os.path.join(outdir, "step2-matches.png"),
             )
 
+    t0 = _time.perf_counter()
     step3_out = step3_estimate_essential(
         step2_out[0], step2_out[1], K, ransac_quality,
         options=ransac_options, key=key, quiet=quiet
     )
+    metrics["step3_seconds"] = _time.perf_counter() - t0
     ransac = step3_out[0]
+    metrics["n_matches"] = int(step2_out[0].shape[0])
+    metrics["consensus"] = float(ransac["inlier_percent"])
+    metrics["n_inliers"] = int(len(ransac["inlier_idx"]))
+    metrics["ransac_success"] = bool(ransac["success"])
     if not quiet:
         print(" Number of keypoints: ", step2_out[0].shape[0])
         print(" Percent of inliers: ", ransac["inlier_percent"])
@@ -265,13 +284,26 @@ def run_two_view(
             " Singular Values ratio score: ",
             np.abs(s[0] - s[1]) / np.abs(s[0] + s[1]),
         )
+    t0 = _time.perf_counter()
     RX, ransac = step4_triangulate(
         step3_out, image_paths, outdir, quiet, ba=ba, distortion=distortion
     )
+    metrics["step4_seconds"] = _time.perf_counter() - t0
+    metrics["n_points"] = int(RX.shape[0])
+    t0 = _time.perf_counter()
     rect = step5_rectify(ransac, K, image_paths, outdir, rsf, quiet)
+    metrics["step5_seconds"] = _time.perf_counter() - t0
+    metrics["total_seconds"] = sum(
+        v for k, v in metrics.items() if k.endswith("_seconds")
+    )
+    if outdir is not None:
+        from spectavi_tpu.pipeline.io import write_metrics
+
+        write_metrics(os.path.join(outdir, "metrics.json"), metrics)
     return {
         "matches": step2_out,
         "ransac": ransac,
         "points": RX,
         "rectified": rect,
+        "metrics": metrics,
     }

@@ -13,5 +13,6 @@ from spectavi_tpu.sfm.pose_graph import (  # noqa: F401
     tracks_to_observations,
     triangulate_nview,
 )
+from spectavi_tpu.sfm.resection import incremental_poses, pnp_ransac  # noqa: F401
 from spectavi_tpu.sfm.checkpoint import load_sfm_state, save_sfm_state  # noqa: F401
 from spectavi_tpu.sfm.distributed import make_sharded_ba_step, pad_observations  # noqa: F401

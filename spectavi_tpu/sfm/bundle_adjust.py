@@ -98,13 +98,17 @@ def _residual(rvec, tvec, X, uv, k):
     return _project(rvec, tvec, X, k) - uv
 
 
-# per-observation Jacobians via autodiff (k is a fixed parameter of
-# the inner LM problem; it is refit in closed form between LM rounds)
+# per-observation Jacobians via autodiff; the shared radial model k
+# can either stay fixed inside a step (pinhole/sharded paths) or join
+# the LM state as a global 2-parameter block (joint path below)
 _jac_cam = jax.jacobian(
     lambda c, X, uv, k: _residual(c[:3], c[3:], X, uv, k), argnums=0
 )
 _jac_pt = jax.jacobian(
     lambda c, X, uv, k: _residual(c[:3], c[3:], X, uv, k), argnums=1
+)
+_jac_k = jax.jacobian(
+    lambda c, X, uv, k: _residual(c[:3], c[3:], X, uv, k), argnums=3
 )
 
 
@@ -258,6 +262,161 @@ def _solve_schur(U, Vinv, Wblk, bc, bp, cam_idx, pt_idx, fixed_cam_mask,
     return dc, dp
 
 
+# ---------------------------------------------------------------------------
+# Joint (cameras, points, k) step: the radial model as a global block.
+#
+# Alternating "LM on geometry / closed-form k refit" converges linearly
+# and SLOWLY when k and geometry are strongly coupled (measured: a
+# 5-camera scene zig-zags at ~3%/iteration and parks k far from truth).
+# Eliminating points as usual but keeping (cams, k) together in the
+# reduced system restores quadratic convergence.  The reduced operator
+# on the pytree v = (vc (C,6), vk (2,)) is
+#
+#   a_c = U vc + Uck vk - W_c V^-1 (W_c^T vc + W_k^T vk)
+#   a_k = Uck^T-contraction(vc) + Ukk vk - sum_o W_k V^-1 (...)
+#
+# — all segment-sums/einsums, CG-friendly, no new factorizations.
+# ---------------------------------------------------------------------------
+
+
+def _ba_quantities_joint(cams, pts, cam_idx, pt_idx, uv, w, lam, k):
+    C = cams.shape[0]
+    M = pts.shape[0]
+    c = cams[cam_idx]
+    X = pts[pt_idx]
+    r = jax.vmap(
+        lambda ci, Xi, uvi: _residual(ci[:3], ci[3:], Xi, uvi, k)
+    )(c, X, uv)
+    Jc = jax.vmap(lambda ci, Xi, uvi: _jac_cam(ci, Xi, uvi, k))(c, X, uv)
+    Jp = jax.vmap(lambda ci, Xi, uvi: _jac_pt(ci, Xi, uvi, k))(c, X, uv)
+    Jk = jax.vmap(lambda ci, Xi, uvi: _jac_k(ci, Xi, uvi, k))(c, X, uv)
+    r = r * w[:, None]
+    Jc = Jc * w[:, None, None]
+    Jp = Jp * w[:, None, None]
+    Jk = Jk * w[:, None, None]
+
+    U = _segsum(jnp.einsum("oki,okj->oij", Jc, Jc), cam_idx, C)
+    V = _segsum(jnp.einsum("oki,okj->oij", Jp, Jp), pt_idx, M)
+    Uck = _segsum(jnp.einsum("oki,okj->oij", Jc, Jk), cam_idx, C)  # (C,6,2)
+    Ukk = jnp.einsum("oki,okj->ij", Jk, Jk)  # (2,2)
+    bc = _segsum(jnp.einsum("oki,ok->oi", Jc, r), cam_idx, C)
+    bp = _segsum(jnp.einsum("oki,ok->oi", Jp, r), pt_idx, M)
+    bk = jnp.einsum("oki,ok->i", Jk, r)  # (2,)
+    cost = jnp.sum(r * r)
+
+    U = U + lam * jnp.eye(6, dtype=U.dtype) * jnp.maximum(
+        jnp.trace(U, axis1=-2, axis2=-1)[:, None, None] / 6.0, 1e-12
+    )
+    V = V + lam * jnp.eye(3, dtype=V.dtype) * jnp.maximum(
+        jnp.trace(V, axis1=-2, axis2=-1)[:, None, None] / 3.0, 1e-12
+    )
+    Ukk = Ukk + lam * jnp.eye(2, dtype=Ukk.dtype) * jnp.maximum(
+        jnp.trace(Ukk) / 2.0, 1e-12
+    )
+    Vinv = inv3x3(V)
+    Wc = jnp.einsum("oki,okj->oij", Jc, Jp)  # (O, 6, 3)
+    Wk = jnp.einsum("oki,okj->oij", Jk, Jp)  # (O, 2, 3)
+    return U, Uck, Ukk, Vinv, Wc, Wk, bc, bp, bk, cost
+
+
+def _solve_schur_joint(U, Uck, Ukk, Vinv, Wc, Wk, bc, bp, bk, cam_idx,
+                       pt_idx, fixed_cam_mask, cg_iters=100):
+    C = U.shape[0]
+    M = Vinv.shape[0]
+    free = (~fixed_cam_mask)[:, None]
+
+    z0 = jnp.einsum("mij,mj->mi", Vinv, bp)
+    rhs_c = -(bc - _segsum(jnp.einsum("oij,oj->oi", Wc, z0[pt_idx]), cam_idx, C))
+    rhs_k = -(bk - jnp.einsum("oij,oj->i", Wk, z0[pt_idx]))
+    rhs_c = jnp.where(free, rhs_c, 0.0)
+
+    def matvec(v):
+        vc, vk = v
+        vc = jnp.where(free, vc, 0.0)
+        y = _segsum(
+            jnp.einsum("oji,oj->oi", Wc, vc[cam_idx])
+            + jnp.einsum("oji,j->oi", Wk, vk),
+            pt_idx,
+            M,
+        )
+        z = jnp.einsum("mij,mj->mi", Vinv, y)
+        a_c = (
+            jnp.einsum("cij,cj->ci", U, vc)
+            + jnp.einsum("cij,j->ci", Uck, vk)
+            - _segsum(jnp.einsum("oij,oj->oi", Wc, z[pt_idx]), cam_idx, C)
+        )
+        a_k = (
+            jnp.einsum("cij,ci->j", Uck, vc)
+            + Ukk @ vk
+            - jnp.einsum("oij,oj->i", Wk, z[pt_idx])
+        )
+        return (jnp.where(free, a_c, vc), a_k)
+
+    (dc, dk), _ = jax.scipy.sparse.linalg.cg(
+        matvec, (rhs_c, rhs_k), maxiter=cg_iters
+    )
+    dc = dc * free
+    acc = _segsum(
+        jnp.einsum("oji,oj->oi", Wc, dc[cam_idx])
+        + jnp.einsum("oji,j->oi", Wk, dk),
+        pt_idx,
+        M,
+    )
+    dp = -jnp.einsum("mij,mj->mi", Vinv, bp + acc)
+    return dc, dp, dk
+
+
+@partial(jax.jit, static_argnames=("cg_iters",))
+def ba_step_joint(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed_cam_mask,
+                  k, cg_iters=100):
+    """One damped LM step over cameras, points AND the shared (k1, k2)
+    radial block.  Returns ``(new_cams, new_pts, new_k, cost_before)``."""
+    U, Uck, Ukk, Vinv, Wc, Wk, bc, bp, bk, cost = _ba_quantities_joint(
+        cams, pts, cam_idx, pt_idx, uv, w, lam, k
+    )
+    dc, dp, dk = _solve_schur_joint(
+        U, Uck, Ukk, Vinv, Wc, Wk, bc, bp, bk, cam_idx, pt_idx,
+        fixed_cam_mask, cg_iters=cg_iters,
+    )
+    return cams + dc, pts + dp, k + dk, cost
+
+
+# ---------------------------------------------------------------------------
+# Robust loss (Huber / IRLS).  The reference has no robust machinery —
+# outlier rejection is all pre-RANSAC — so one bad track poisons a
+# multi-view solution.  Huber via iteratively-reweighted least squares
+# fits the existing `w` plumbing: each outer iteration reweights every
+# observation by sqrt(min(1, delta/||r||)) and LM acceptance compares
+# the true robust cost sum_o w_o^2 rho(||r_o||).
+# ---------------------------------------------------------------------------
+
+
+@jax.jit
+def _residual_norms(cams, pts, cam_idx, pt_idx, uv, k):
+    c = cams[cam_idx]
+    X = pts[pt_idx]
+    r = jax.vmap(
+        lambda ci, Xi, uvi: _residual(ci[:3], ci[3:], Xi, uvi, k)
+    )(c, X, uv)
+    return jnp.sqrt(jnp.sum(r * r, axis=1))
+
+
+def huber_weights(norms, delta):
+    """IRLS weights for the Huber loss: 1 inside the quadratic zone,
+    ``delta/|r|`` in the linear zone.  Multiply into ``w`` as a sqrt
+    (weights scale J and r, the normal equations see the square)."""
+    return jnp.minimum(1.0, delta / jnp.maximum(norms, 1e-30))
+
+
+def huber_cost(norms, w, delta):
+    """True Huber objective ``sum w^2 rho(|r|)`` with
+    ``rho(n) = n^2`` for ``n <= delta``, ``2 delta n - delta^2`` beyond."""
+    rho = jnp.where(
+        norms <= delta, norms**2, 2.0 * delta * norms - delta**2
+    )
+    return jnp.sum(w**2 * rho)
+
+
 @partial(jax.jit, static_argnames=("cg_iters",))
 def ba_step(cams, pts, cam_idx, pt_idx, uv, w, lam, fixed_cam_mask, k=None, cg_iters=100):
     """One damped Gauss-Newton (LM) step.  Returns ``(new_cams,
@@ -293,6 +452,8 @@ def bundle_adjust(
     tol=1e-12,
     verbose=False,
     estimate_distortion=False,
+    loss="linear",
+    huber_delta=None,
 ):
     """Levenberg-Marquardt bundle adjustment (host loop, jitted steps).
 
@@ -305,10 +466,21 @@ def bundle_adjust(
     weights : optional ``(O,)`` weights (0 masks an observation).
     fixed_cameras : camera indices held fixed (gauge).
     estimate_distortion : if True, a shared radial ``(k1, k2)`` model
-        is alternated with the LM rounds (closed-form 2x2 refit — the
-        distorted residual is linear in k) and returned as a fourth
-        output ``(cams, pts, history, k)``.
+        joins the LM state as a global block (closed-form 2x2 init,
+        then joint Schur steps — the old geometry/refit alternation
+        converged linearly and parked k off-truth on bigger scenes)
+        and is returned as a fourth output ``(cams, pts, history, k)``.
+    loss : ``"linear"`` (plain squared residuals) or ``"huber"``:
+        IRLS reweighting with the Huber influence function, so single
+        bad tracks stop poisoning the solution.  LM accept/reject then
+        compares the TRUE robust objective, and ``history`` records it.
+    huber_delta : Huber transition scale (calibrated-coordinate
+        residual norm).  Defaults to 3x the median residual norm at the
+        start (re-estimated never — a fixed scale keeps the objective
+        well-defined across iterations).
     """
+    if loss not in ("linear", "huber"):
+        raise ValueError(f"unknown loss {loss!r} (use 'linear' or 'huber')")
     # use f64 when x64 is enabled (CPU test/precision runs), f32 otherwise
     # (TPU: f64 linalg is emulated-or-broken there; f32 converges fine)
     wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -327,39 +499,61 @@ def bundle_adjust(
         fixed[i] = True
     fixed = jnp.asarray(fixed)
 
-    lam = lam0
     k = jnp.zeros(2, cams.dtype)
-    cost = float(ba_cost(cams, pts, cam_idx, pt_idx, uv, w, k))
     if estimate_distortion:
-        # fit k against the INITIAL geometry first — otherwise the
-        # first LM rounds warp cameras/points to absorb the distortion
-        # and the closed-form refit has nothing left to explain
+        # closed-form init against the INITIAL geometry — the joint
+        # steps then refine it together with cameras/points
         k0 = fit_distortion(cams, pts, cam_idx, pt_idx, uv, w)
-        cost0 = float(ba_cost(cams, pts, cam_idx, pt_idx, uv, w, k0))
-        if cost0 < cost:
-            k, cost = k0, cost0
+        if float(ba_cost(cams, pts, cam_idx, pt_idx, uv, w, k0)) < float(
+            ba_cost(cams, pts, cam_idx, pt_idx, uv, w, k)
+        ):
+            k = k0
+
+    robust = loss == "huber"
+    delta = None
+    if robust:
+        norms0 = _residual_norms(cams, pts, cam_idx, pt_idx, uv, k)
+        if huber_delta is None:
+            active = np.asarray(norms0)[np.asarray(w) > 0]
+            huber_delta = float(3.0 * np.median(active)) if len(active) else 1.0
+        delta = jnp.asarray(max(huber_delta, 1e-12), cams.dtype)
+
+    def objective(cams_, pts_, k_):
+        if robust:
+            n = _residual_norms(cams_, pts_, cam_idx, pt_idx, uv, k_)
+            return float(huber_cost(n, w, delta))
+        return float(ba_cost(cams_, pts_, cam_idx, pt_idx, uv, w, k_))
+
+    def step_weights(cams_, pts_, k_):
+        if not robust:
+            return w
+        n = _residual_norms(cams_, pts_, cam_idx, pt_idx, uv, k_)
+        return w * jnp.sqrt(huber_weights(n, delta))
+
+    lam = lam0
+    cost = objective(cams, pts, k)
     history = [cost]
     for it in range(max_iters):
-        new_cams, new_pts, _ = ba_step(
-            cams, pts, cam_idx, pt_idx, uv, w, lam, fixed, k=k,
-            cg_iters=cg_iters,
-        )
-        new_cost = float(ba_cost(new_cams, new_pts, cam_idx, pt_idx, uv, w, k))
+        w_eff = step_weights(cams, pts, k)
+        if estimate_distortion:
+            new_cams, new_pts, new_k, _ = ba_step_joint(
+                cams, pts, cam_idx, pt_idx, uv, w_eff, lam, fixed, k,
+                cg_iters=cg_iters,
+            )
+        else:
+            new_cams, new_pts, _ = ba_step(
+                cams, pts, cam_idx, pt_idx, uv, w_eff, lam, fixed, k=k,
+                cg_iters=cg_iters,
+            )
+            new_k = k
+        new_cost = objective(new_cams, new_pts, new_k)
         if verbose:
             print(f"BA iter {it}: cost {cost:.6e} -> {new_cost:.6e} (lam={lam:.1e})")
         if new_cost < cost:
             improvement = (cost - new_cost) / max(cost, 1e-30)
-            cams, pts, cost = new_cams, new_pts, new_cost
+            cams, pts, k, cost = new_cams, new_pts, new_k, new_cost
             lam = max(lam * 0.3, 1e-12)
             history.append(cost)
-            if estimate_distortion:
-                k_new = fit_distortion(cams, pts, cam_idx, pt_idx, uv, w)
-                cost_k = float(
-                    ba_cost(cams, pts, cam_idx, pt_idx, uv, w, k_new)
-                )
-                if cost_k < cost:  # accept only when the refit helps
-                    k, cost = k_new, cost_k
-                    history.append(cost)
             if improvement < tol:
                 break
         else:

