@@ -40,6 +40,19 @@ def _load():
         np.ctypeslib.ndpointer(ct.c_int64, flags="C_CONTIGUOUS"),
         np.ctypeslib.ndpointer(ct.c_int32, flags="C_CONTIGUOUS"),
     ]
+    lib.hostops_sift.restype = ct.c_int
+    lib.hostops_sift.argtypes = [
+        np.ctypeslib.ndpointer(ct.c_float, flags="C_CONTIGUOUS"),
+        ct.c_int,
+        ct.c_int,
+        ct.c_int,
+        ct.c_double,
+        ct.c_double,
+        ct.c_double,
+        ct.c_int,
+        np.ctypeslib.ndpointer(ct.c_float, flags="C_CONTIGUOUS"),
+        ct.c_int,
+    ]
     lib.hostops_l1k2_nn_scalar.restype = None
     lib.hostops_l1k2_nn_scalar.argtypes = [
         np.ctypeslib.ndpointer(ct.c_float, flags="C_CONTIGUOUS"),
@@ -69,6 +82,31 @@ def l1k2_nn_cpu(x, y, nthreads=None):
         x, y, x.shape[0], y.shape[0], x.shape[1], int(nthreads), idx, dist
     )
     return idx, dist
+
+
+def sift_cpu(im, nthreads=None, peak_thresh=0.0, edge_thresh=10.0,
+             magnif=3.0, o_min=-1):
+    """Native C++/OpenMP SIFT (native/sift_baseline.cpp): the measured
+    CPU throughput baseline for the TPU SIFT path, and a host-side
+    fallback detector.  Returns ``(nkp, 132)`` float32 rows
+    ``[x, y, sigma, angle, desc x 128]`` (same layout as
+    ``features.sift_filter``)."""
+    lib = _load()
+    im = np.ascontiguousarray(im, dtype=np.float32)
+    assert im.ndim == 2
+    if nthreads is None:
+        nthreads = os.cpu_count() or 1
+    cap = 1 << 14
+    while True:
+        out = np.empty((cap, 132), dtype=np.float32)
+        n = lib.hostops_sift(
+            im, im.shape[1], im.shape[0], int(nthreads),
+            float(peak_thresh), float(edge_thresh), float(magnif),
+            int(o_min), out, cap,
+        )
+        if n >= 0:
+            return out[:n].copy()
+        cap = -n
 
 
 def l1k2_nn_cpu_scalar(x, y, nthreads=None):

@@ -299,3 +299,35 @@ def test_orient_kernel_interpret_parity(rng):
             )
         else:
             assert np.all(hist[k] == 0.0)
+
+
+def test_native_sift_baseline_fidelity():
+    """The C++ CPU SIFT baseline (native/sift_baseline.cpp) must do the
+    same work as vlfeat to be a legitimate throughput denominator:
+    >=85% of the golden keypoints recovered with matching descriptors
+    (measured 91% / median cosine 0.9997 at authoring time)."""
+    import numpy as np
+
+    from spectavi_tpu.utils.hostops import sift_cpu
+
+    d = np.load("/root/reference/data/sift-test/sur-ogre.npz")
+    im = d["im"].astype(np.float32)
+    if im.max() > 1.5:
+        im = im / im.max()
+    kp = sift_cpu(im)
+    gold = np.loadtxt("/root/reference/data/sift-test/sur-ogre.sift")
+
+    pos_d = np.linalg.norm(gold[:, None, :2] - kp[None, :, :2], axis=2)
+    sig_r = np.abs(np.log(gold[:, None, 2] / kp[None, :, 2]))
+    da = np.abs(gold[:, None, 3] - kp[None, :, 3])
+    da = np.minimum(da, 2 * np.pi - da)
+    cand = (pos_d < 1.5) & (sig_r < 0.3) & (da < 0.3)
+    matched = cand.any(1)
+    assert matched.mean() >= 0.85, matched.mean()
+    cos = []
+    for g in np.nonzero(matched)[0]:
+        js = np.nonzero(cand[g])[0]
+        j = js[np.argmin(pos_d[g, js])]
+        a, b = gold[g, 4:], kp[j, 4:]
+        cos.append(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert np.median(cos) >= 0.995, np.median(cos)
