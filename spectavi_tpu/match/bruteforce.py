@@ -34,12 +34,8 @@ def _pad_rows(a, multiple):
     return a, rows
 
 
-@partial(jax.jit, static_argnames=("p", "k", "use_int"))
-def _lp_topk_chunk(x, yc, p, k, use_int):
-    """Top-k neighbours of query chunk ``yc`` in database ``x`` under the
-    reference's accumulated-|diff|^p "distance" (no 1/p root, reference
-    ``src/BruteForceNn.h:67-79``)."""
-    diff = yc[:, None, :] - x[None, :, :]
+def _pow_accum(diff, p, use_int):
+    """The reference's accumulated |diff|^p term (``src/BruteForceNn.h:67-79``)."""
     if use_int:
         # integer path truncates each per-element power to int before
         # accumulating (Scalar=int in the reference template)
@@ -49,32 +45,105 @@ def _lp_topk_chunk(x, yc, p, k, use_int):
             pval = diff * diff
         else:
             pval = jnp.sqrt(jnp.abs(diff).astype(jnp.float64)).astype(diff.dtype)
-        dist = pval.sum(-1)
+        return pval
+    ad = jnp.abs(diff)
+    if p == 1.0:
+        pval = ad
+    elif p == 2.0:
+        pval = diff * diff
+    elif p == 0.5:
+        pval = jnp.sqrt(ad)
     else:
-        ad = jnp.abs(diff)
-        if p == 1.0:
-            pval = ad
-        elif p == 2.0:
-            pval = diff * diff
-        elif p == 0.5:
-            pval = jnp.sqrt(ad)
-        else:
-            pval = jnp.power(ad, p)
-        dist = pval.sum(-1)
+        pval = jnp.power(ad, p)
+    return pval
+
+
+@partial(jax.jit, static_argnames=("p", "k", "use_int"))
+def _lp_topk_chunk(x, yc, p, k, use_int):
+    """Top-k neighbours of query chunk ``yc`` in database ``x`` under the
+    reference's accumulated-|diff|^p "distance" (no 1/p root, reference
+    ``src/BruteForceNn.h:67-79``)."""
+    dist = _pow_accum(yc[:, None, :] - x[None, :, :], p, use_int).sum(-1)
     neg_d, idx = jax.lax.top_k(-dist, k)
     return idx, -neg_d
 
 
-def nn_bruteforce(x, y, p=0.5, mu=0.0, k=2, use_int=False, chunk=1024):
-    """Exact k-NN under any p-norm accumulation.
+@partial(jax.jit, static_argnames=("p", "k", "use_int", "d0", "m"))
+def _lp_topk_chunk_mu(x, yc, mu, p, k, use_int, d0, m):
+    """The ``mu`` approximate-pruning path, restructured for TPU.
+
+    The reference prunes per candidate mid-accumulation when
+    ``distp + mu * (dim - (icol+1)) > worst_dist``
+    (``src/BruteForceNn.h:80-87``): ``mu`` extrapolates the partial
+    distance over the remaining dims, and candidates whose extrapolation
+    already exceeds the current k-th best are skipped — higher ``mu``
+    prunes harder and may drop true neighbours (documented approximate
+    behaviour).  Sequential mid-accumulation exits are data-dependent
+    control flow the MXU cannot exploit, so the TPU realization is a
+    two-stage batch program with the same semantics:
+
+    1. partial distances over the first ``d0`` dims for all candidates
+       (a fraction ``d0/D`` of the full work);
+    2. a seed set = top-k by partial distance, whose FULL distances give
+       ``worst_dist`` (exactly the reference's running heap bound,
+       batch-initialized);
+    3. the reference's prune test on the extrapolated bound
+       ``partial + mu * (D - d0) > worst_dist`` eliminates candidates;
+    4. exact re-rank on the ``m`` best-bounded survivors only
+       (a fraction ``m/X`` of the full work).
+
+    ``mu = 0`` never reaches this path (the dense kernel is exact and
+    faster when nothing can be pruned).  Like the reference, correctness
+    degrades gracefully: the seeds are always retained, so k valid
+    neighbours always come back.
+    """
+    D = x.shape[1]
+    partial_d = _pow_accum(yc[:, None, :d0] - x[None, :, :d0], p, use_int).sum(-1)
+    # seed heap: k best by partial, scored fully
+    _, seed = jax.lax.top_k(-partial_d, k)  # (Yc, k)
+    seed_dist = _pow_accum(yc[:, None, :] - x[seed], p, use_int).sum(-1)  # (Yc, k)
+    worst = seed_dist.max(axis=1, keepdims=True)
+    bound = partial_d + mu * (D - d0)
+    pruned = bound > worst
+    if jnp.issubdtype(partial_d.dtype, jnp.floating):
+        big = jnp.asarray(jnp.inf, partial_d.dtype)
+    else:
+        big = jnp.asarray(jnp.iinfo(partial_d.dtype).max, partial_d.dtype)
+    _, cand = jax.lax.top_k(-jnp.where(pruned, big, partial_d), m)  # (Yc, m)
+    cand_dist = _pow_accum(yc[:, None, :] - x[cand], p, use_int).sum(-1)
+    cand_pruned = jnp.take_along_axis(pruned, cand, axis=1)
+    # a candidate that is also a seed must not fill two top-k slots
+    # (top_k indices are distinct within each of the two sets, so only
+    # the seed/candidate overlap needs masking)
+    cand_is_seed = (cand[:, :, None] == seed[:, None, :]).any(-1)
+    cand_dist = jnp.where(cand_pruned | cand_is_seed, big, cand_dist)
+    # merge survivors with the always-kept seeds
+    all_idx = jnp.concatenate([seed, cand], axis=1)
+    all_dist = jnp.concatenate([seed_dist, cand_dist], axis=1)
+    neg_d, j = jax.lax.top_k(-all_dist, k)
+    idx = jnp.take_along_axis(all_idx, j, axis=1)
+    return idx, -neg_d
+
+
+def nn_bruteforce(x, y, p=0.5, mu=0.0, k=2, use_int=False, chunk=1024,
+                  prune_dims=None, prune_candidates=None):
+    """k-NN under any p-norm accumulation; exact unless ``mu > 0``.
 
     API parity with ``spectavi.feature.nn_bruteforce`` (reference
     ``spectavi/feature.py:246-289``): returns ``(nn_idx uint64,
     nn_dist)`` with distances float32, or int32 when ``use_int`` (inputs
     then scaled by 100 and rounded, matching the reference wrapper).
-    ``mu`` is accepted but ignored — results are always exact.
+
+    ``mu > 0`` enables the reference's approximate extrapolation
+    pruning (``src/BruteForceNn.h:80-87``) via the two-stage batch
+    program in :func:`_lp_topk_chunk_mu`: partial distances over
+    ``prune_dims`` prefix dims (default ``D // 4``), the reference's
+    ``partial + mu * remaining > worst`` prune test against a fully
+    scored seed heap, exact re-rank over at most ``prune_candidates``
+    survivors (default ``max(8k, X // 8)``).  Higher ``mu`` prunes
+    harder and may drop true neighbours — exactly the reference's
+    documented trade; ``mu = 0`` keeps the exact dense kernel.
     """
-    del mu
     x = np.asarray(x)
     y = np.asarray(y)
     assert x.shape[1] == y.shape[1]
@@ -84,11 +153,27 @@ def nn_bruteforce(x, y, p=0.5, mu=0.0, k=2, use_int=False, chunk=1024):
     else:
         xj = jnp.asarray(x.astype("float32"))
         yq = y.astype("float32")
+    if mu > 0.0:
+        D, X = x.shape[1], x.shape[0]
+        d0 = int(prune_dims) if prune_dims else max(1, D // 4)
+        d0 = min(max(d0, 1), D)
+        m = int(prune_candidates) if prune_candidates else max(8 * k, X // 8)
+        m = min(max(m, k), X)
+        # mu is in distance units (already the x100 scale for use_int —
+        # the reference passes it through unscaled too,
+        # spectavi/feature.py:283-288)
+        mu_arr = jnp.asarray(round(float(mu)) if use_int else float(mu),
+                             jnp.int32 if use_int else jnp.float32)
     idx_out = []
     dist_out = []
     for i in range(0, yq.shape[0], chunk):
         yc, rows = _pad_rows(yq[i : i + chunk], chunk)
-        idx, dist = _lp_topk_chunk(xj, jnp.asarray(yc), float(p), int(k), bool(use_int))
+        if mu > 0.0:
+            idx, dist = _lp_topk_chunk_mu(
+                xj, jnp.asarray(yc), mu_arr, float(p), int(k), bool(use_int), d0, m
+            )
+        else:
+            idx, dist = _lp_topk_chunk(xj, jnp.asarray(yc), float(p), int(k), bool(use_int))
         idx_out.append(np.asarray(idx)[:rows])
         dist_out.append(np.asarray(dist)[:rows])
     nn_idx = np.vstack(idx_out).astype(np.uint64)

@@ -41,6 +41,35 @@ def test_nn_bruteforce_exact(rng):
     assert np.all(nnd[:, 0] <= nnd[:, 1])
 
 
+def test_nn_bruteforce_mu_pruning(rng):
+    """The mu knob (reference src/BruteForceNn.h:80-87 extrapolation
+    pruning) is approximate-but-useful: on clusterable data a small mu
+    keeps high agreement with the exact answer, and results stay valid
+    (distinct, ascending, genuine distances) even under aggressive mu."""
+    centers = rng.uniform(-4, 4, size=(40, 64))
+    x = (centers[rng.integers(0, 40, 2000)] + 0.3 * rng.standard_normal((2000, 64))).astype("float32")
+    y = (centers[rng.integers(0, 40, 500)] + 0.3 * rng.standard_normal((500, 64))).astype("float32")
+    gt_i, gt_d = brute_force_nn_batched(x, y, 2, p=2, get_dist=True)
+
+    nni, nnd = match.nn_bruteforce(x, y, k=2, p=2.0, mu=0.05)
+    agree = (nni.astype(np.int64) == gt_i.astype(np.int64)).mean()
+    assert agree >= 0.9, agree  # approximate, but far above the 60% reference ANN floor
+    assert np.all(nnd[:, 0] <= nnd[:, 1])
+    assert np.all(nni[:, 0] != nni[:, 1])  # dedup: no index fills two slots
+
+    # returned distances are genuine distances of the returned indices
+    d_check = ((y[:, None, :] - x[nni.astype(np.int64)]) ** 2).sum(-1)
+    assert np.allclose(nnd, d_check, rtol=1e-4)
+
+    # harder pruning stays valid and is never better-informed than exact
+    nni2, nnd2 = match.nn_bruteforce(x, y, k=2, p=2.0, mu=10.0)
+    assert np.all(nnd2[:, 0] <= nnd2[:, 1])
+    assert np.all(nnd2[:, 0] >= gt_d[:, 0] - 1e-3)  # cannot beat the exact best
+    # mu=0 stays bit-exact through the dense path
+    nni0, _ = match.nn_bruteforce(x, y, k=2, p=2.0, mu=0.0)
+    assert np.array_equal(nni0.astype(np.int64), gt_i.astype(np.int64))
+
+
 def test_nn_bruteforce_p1(rng):
     x = rng.standard_normal((300, 64)).astype("float32")
     y = rng.standard_normal((200, 64)).astype("float32")
