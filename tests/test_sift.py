@@ -33,6 +33,19 @@ def ours(golden):
 
 
 def test_sift_golden_keypoints(golden, ours):
+    """Scale-gated golden matching, with the residual gap quantified.
+
+    Measured on this image (analysis in ``docs/PARITY.md`` §SIFT):
+    1167/1168 golden keypoints (99.91%) have a counterpart within 1 px
+    at the same scale; 1164/1168 (99.66%) additionally agree in angle to
+    <0.2 rad.  The four residuals are each a known float-ordering
+    convention, not an algorithmic gap: three are secondary-orientation
+    peaks sitting ON vlfeat's 0.8*max peak threshold (the smoothed
+    36-bin histogram differs in the last float ulps, flipping the peak
+    in/out), one is a subpixel-refinement difference on a sigma=4.2
+    keypoint that lands 1.3 px away.  Matched-descriptor cosine: median
+    0.99977, p1 0.989, min 0.931.
+    """
     im, gold = golden
     kp = ours
     # similar keypoint count (golden: 1168)
@@ -42,11 +55,18 @@ def test_sift_golden_keypoints(golden, ours):
 
     tree = cKDTree(kp[:, :2])
     pairs = tree.query_ball_point(gold[:, :2], r=1.0)
-    matched, cos_all, sig_ratio = 0, [], []
+    pos_scale, matched, cos_all = 0, 0, []
     for gi, cand in enumerate(pairs):
         if not cand:
             continue
         cand = np.asarray(cand)
+        # same-scale gate: a 0.9-px-away sibling from another octave is
+        # a different keypoint, not this one's counterpart
+        sig_ratio = kp[cand, 2] / gold[gi, 2]
+        cand = cand[(sig_ratio > 0.8) & (sig_ratio < 1.25)]
+        if len(cand) == 0:
+            continue
+        pos_scale += 1
         dang = np.abs((kp[cand, 3] - gold[gi, 3] + np.pi) % (2 * np.pi) - np.pi)
         best = cand[np.argmin(dang)]
         if dang.min() < 0.2:
@@ -56,13 +76,13 @@ def test_sift_golden_keypoints(golden, ours):
                 (a * b).sum()
                 / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-9)
             )
-            sig_ratio.append(kp[best, 2] / gold[gi, 2])
     cos_all = np.asarray(cos_all)
-    sig_ratio = np.asarray(sig_ratio)
-    assert matched / len(gold) >= 0.99
-    assert np.median(cos_all) > 0.999
-    assert (cos_all > 0.95).mean() >= 0.99
-    assert np.abs(np.median(sig_ratio) - 1.0) < 1e-3
+    assert pos_scale / len(gold) >= 0.995   # measured 99.91%
+    assert matched / len(gold) >= 0.99      # measured 99.66%
+    assert np.median(cos_all) > 0.9995      # measured 0.99977
+    assert (cos_all > 0.99).mean() >= 0.98  # measured 98.97%
+    assert (cos_all > 0.95).mean() >= 0.995  # measured 99.83%
+    assert cos_all.min() > 0.9              # measured 0.931
 
 
 def test_sift_output_layout(ours):
