@@ -93,7 +93,7 @@ def _sharded_topk2(mesh, x, y, kernel):
     return fn(x, y)
 
 
-def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, min_ratio=1.75):
+def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, min_ratio=1.75, masked=False):
     """Build the jitted multi-chip two-view "training step".
 
     Input: a batch of image pairs, sharded ``pairs`` x ``blocks``:
@@ -115,15 +115,28 @@ def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, 
     Returns per-pair ``(essential (B,3,3), camera (B,3,4),
     count (B,), inlier_mask (B, Y))`` — enough for hosts to
     triangulate exactly like the single-chip pipeline.
+
+    ``masked=True`` builds the ragged-batch variant used by
+    :func:`spectavi_tpu.pipeline.sfm.run_sfm`'s batched pair backend:
+    the step takes two extra ``(B,)`` int32 inputs ``nx, ny`` (valid
+    database/query row counts per pair; rows beyond them are padding)
+    and drops matches into padding plus padded queries from the ratio
+    mask before RANSAC.  Pad the database by replicating a real row —
+    a query whose true neighbour IS that row then sees d2 == d1 and is
+    conservatively dropped by the ratio test, never silently matched to
+    garbage.
     """
     kernel = _l2_kernel_for(mesh)
 
-    def per_pair(desc0, desc1, pts0, pts1, key):
+    def per_pair(desc0, desc1, pts0, pts1, key, nx=None, ny=None):
         idx, dist = kernel(desc0, desc1)
         idx, dist = _merge_block_topk(idx, dist, BLOCKS, desc0.shape[0])
         # inverted-Lowe ratio test on squared L2 distances
         d1 = jnp.maximum(dist[:, 0].astype(pts0.dtype), 1e-12)
         ratio_ok = dist[:, 1].astype(pts0.dtype) >= (min_ratio**2) * d1
+        if nx is not None:
+            qi = jnp.arange(desc1.shape[0])
+            ratio_ok = ratio_ok & (idx[:, 0] < nx) & (qi < ny)
         x0 = pts0[idx[:, 0]]
         x1 = pts1
         out = ransac_essential_core(
@@ -135,22 +148,36 @@ def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, 
             out["camera"],
             out["count"],
             out["inlier_mask"],
+            idx[:, 0],
+            ratio_ok,
         )
 
-    def stepfn(desc0, desc1, pts0, pts1, keys):
-        return jax.vmap(per_pair)(desc0, desc1, pts0, pts1, keys)
+    pair_spec = (
+        P(PAIRS, BLOCKS, None),
+        P(PAIRS, None, None),
+        P(PAIRS, None, None),
+        P(PAIRS, None, None),
+        P(PAIRS, None),
+    )
+    if masked:
+        def stepfn(desc0, desc1, pts0, pts1, keys, nx, ny):
+            return jax.vmap(per_pair)(desc0, desc1, pts0, pts1, keys, nx, ny)
+
+        in_specs = pair_spec + (P(PAIRS), P(PAIRS))
+        out_specs = (P(PAIRS),) * 6
+    else:
+        def stepfn(desc0, desc1, pts0, pts1, keys):
+            out = jax.vmap(per_pair)(desc0, desc1, pts0, pts1, keys)
+            return out[:4]
+
+        in_specs = pair_spec
+        out_specs = (P(PAIRS),) * 4
 
     sharded = shard_map(
         stepfn,
         mesh=mesh,
-        in_specs=(
-            P(PAIRS, BLOCKS, None),
-            P(PAIRS, None, None),
-            P(PAIRS, None, None),
-            P(PAIRS, None, None),
-            P(PAIRS, None),
-        ),
-        out_specs=(P(PAIRS), P(PAIRS), P(PAIRS), P(PAIRS)),
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_rep=False,
     )
     return jax.jit(sharded)

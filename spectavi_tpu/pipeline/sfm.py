@@ -49,6 +49,127 @@ def match_pair(kp_a, kp_b, min_ratio=1.75):
     return idx[keep, 0].astype(np.int64), np.where(keep)[0].astype(np.int64)
 
 
+def _match_pair_loop(kps, pts_cal, i, j, key, ropts, min_ratio, quiet):
+    """One pair through the host-side path: ratio-test matching +
+    confidence-looped RANSAC (``mvg.ransac_fitter``).  Returns
+    ``(record, edge_or_None)``."""
+    mi, mj = match_pair(kps[i], kps[j], min_ratio)
+    if len(mi) < 10:
+        if not quiet:
+            print(f"  pair ({i},{j}): only {len(mi)} matches, skipped")
+        return {"pair": [i, j], "matches": int(len(mi)), "skipped": True}, None
+    x0 = np.hstack([pts_cal[i][mi], np.ones((len(mi), 1))])
+    x1 = np.hstack([pts_cal[j][mj], np.ones((len(mj), 1))])
+    res = mvg.ransac_fitter(x0, x1, options=ropts, key=key)
+    inl = res["inlier_idx"]
+    rec = {
+        "pair": [i, j],
+        "matches": int(len(mi)),
+        "inlier_percent": float(res["inlier_percent"]),
+        "n_inliers": int(len(inl)),
+        "success": bool(res["success"]),
+    }
+    if not quiet:
+        print(
+            f"  pair ({i},{j}): {len(mi)} matches, "
+            f"{res['inlier_percent']:.2f} inliers, success={res['success']}"
+        )
+    if len(inl) < 8:
+        return rec, None
+    edge = {
+        "R": res["camera"][:, :3],
+        "t": res["camera"][:, 3],
+        "idx_i": mi[inl],
+        "idx_j": mj[inl],
+    }
+    return rec, edge
+
+
+def _match_pairs_batched(kps, pts_cal, pair_list, key, ropts, min_ratio,
+                         trials=8192, pad_to=256):
+    """Run ALL pairs' matching + RANSAC in one device dispatch.
+
+    Routes the pair batch through
+    :func:`spectavi_tpu.parallel.two_view.make_two_view_step`
+    (``masked`` variant) on a single-device ``(1, 1)`` mesh: per-pair
+    keypoint tables are padded to a common static shape (database rows
+    replicate the pair's own row 0, so a padding hit can only
+    conservatively fail the ratio test, never fabricate a match) and
+    the whole batch executes as one jitted program — amortizing the
+    per-call dispatch/pull overhead that dominates the host-side loop
+    on a high-latency link.
+
+    Returns the same per-pair result dicts the loop path produces.
+    """
+    from spectavi_tpu.features import normalize_to_ubyte_and_multiple_16_dim
+    from spectavi_tpu.parallel.mesh import make_mesh
+    from spectavi_tpu.parallel.two_view import make_two_view_step
+
+    B = len(pair_list)
+    descs, coords = [], []
+    for kp, pc in zip(kps, pts_cal):
+        d = normalize_to_ubyte_and_multiple_16_dim(kp[:, 4:])
+        descs.append((d + 128).astype(np.uint8))
+        coords.append(pc.astype(np.float32))
+
+    def ceil_to(n, m):
+        return ((n + m - 1) // m) * m
+
+    X = max(ceil_to(max(descs[i].shape[0] for i, _ in pair_list), pad_to), pad_to)
+    Y = max(ceil_to(max(descs[j].shape[0] for _, j in pair_list), pad_to), pad_to)
+    D = descs[0].shape[1]
+    d0 = np.zeros((B, X, D), np.uint8)
+    d1 = np.zeros((B, Y, D), np.uint8)
+    p0 = np.zeros((B, X, 2), np.float32)
+    p1 = np.zeros((B, Y, 2), np.float32)
+    nx = np.zeros(B, np.int32)
+    ny = np.zeros(B, np.int32)
+    for b, (i, j) in enumerate(pair_list):
+        nx[b], ny[b] = descs[i].shape[0], descs[j].shape[0]
+        d0[b, : nx[b]] = descs[i]
+        d0[b, nx[b]:] = descs[i][0]  # replicate, never zero-pad (see doc)
+        d1[b, : ny[b]] = descs[j]
+        p0[b, : nx[b]] = coords[i]
+        p1[b, : ny[b]] = coords[j]
+
+    mesh = make_mesh(n_pairs=1, n_blocks=1, devices=jax.devices()[:1])
+    step = make_two_view_step(
+        mesh,
+        trials=trials,
+        reproj_allowed=ropts["reprojection_error_allowed"],
+        svr_allowed=ropts["singular_value_ratio_allowed"],
+        min_ratio=min_ratio,
+        masked=True,
+    )
+    keys = jax.random.split(key, B)
+    E, P1, count, inl_mask, midx0, ratio_ok = step(
+        jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(p0), jnp.asarray(p1),
+        keys, jnp.asarray(nx), jnp.asarray(ny),
+    )
+    E, P1 = np.asarray(E), np.asarray(P1)
+    count = np.asarray(count)
+    inl_mask = np.asarray(inl_mask)
+    midx0 = np.asarray(midx0)
+    ratio_ok = np.asarray(ratio_ok)
+
+    results = []
+    for b, (i, j) in enumerate(pair_list):
+        n_match = int(ratio_ok[b, : ny[b]].sum())
+        inl_j = np.where(inl_mask[b, : ny[b]])[0].astype(np.int64)
+        inl_i = midx0[b, inl_j].astype(np.int64)
+        results.append({
+            "pair": (i, j),
+            "n_matches": n_match,
+            "camera": P1[b],
+            "essential": E[b],
+            "count": int(count[b]),
+            "idx_i": inl_i,
+            "idx_j": inl_j,
+            "inlier_percent": (len(inl_j) / n_match) if n_match else 0.0,
+        })
+    return results
+
+
 def run_sfm(
     image_paths,
     K_path,
@@ -62,8 +183,16 @@ def run_sfm(
     checkpoint=None,
     init="pnp",
     loss="huber",
+    pair_backend="loop",
 ):
     """Run incremental SfM over a list of images.
+
+    ``pair_backend`` selects how pairwise matching + RANSAC runs:
+    ``"loop"`` dispatches one device program per pair from the host;
+    ``"batched"`` pads all pairs to a static shape and runs them as ONE
+    jitted program (:func:`_match_pairs_batched`) — the fast path on a
+    high-dispatch-latency accelerator when views have similar keypoint
+    counts.
 
     ``init`` selects the pose initializer: ``"pnp"`` (default)
     registers each view by RANSAC-PnP against triangulated tracks with
@@ -120,50 +249,68 @@ def run_sfm(
     edges = {}
     pair_matches = {}
     metrics["pairs"] = []
+    metrics["pair_backend"] = pair_backend
     with Timer("sfm-pairs", quiet) as t_pairs:
-        for (i, j) in pair_list:
-            mi, mj = match_pair(kps[i], kps[j], min_ratio)
-            if len(mi) < 10:
-                if not quiet:
-                    print(f"  pair ({i},{j}): only {len(mi)} matches, skipped")
-                metrics["pairs"].append(
-                    {"pair": [i, j], "matches": int(len(mi)), "skipped": True}
-                )
-                continue
+        if pair_backend == "batched":
             key, sub = jax.random.split(key)
-            x0 = np.hstack([pts_cal[i][mi], np.ones((len(mi), 1))])
-            x1 = np.hstack([pts_cal[j][mj], np.ones((len(mj), 1))])
-            res = mvg.ransac_fitter(x0, x1, options=ropts, key=sub)
-            inl = res["inlier_idx"]
-            metrics["pairs"].append(
-                {
-                    "pair": [i, j],
-                    "matches": int(len(mi)),
-                    "inlier_percent": float(res["inlier_percent"]),
-                    "n_inliers": int(len(inl)),
-                    "success": bool(res["success"]),
-                }
+            batch = _match_pairs_batched(
+                kps, pts_cal, pair_list, sub, ropts, min_ratio
             )
-            if not quiet:
-                print(
-                    f"  pair ({i},{j}): {len(mi)} matches, "
-                    f"{res['inlier_percent']:.2f} inliers, success={res['success']}"
+            for res in batch:
+                i, j = res["pair"]
+                if res["n_matches"] >= 10 and len(res["idx_j"]) < 8:
+                    # rare single-shot batch-RANSAC failure (the gated
+                    # trial batch found no valid hypothesis); retry this
+                    # pair through the confidence-looped host path
+                    key, sub = jax.random.split(key)
+                    rec, edge = _match_pair_loop(
+                        kps, pts_cal, i, j, sub, ropts, min_ratio, quiet
+                    )
+                    rec["batched_retry"] = True
+                    metrics["pairs"].append(rec)
+                    if edge is not None:
+                        edges[(i, j)] = edge
+                        pair_matches[(i, j)] = (edge["idx_i"], edge["idx_j"])
+                    continue
+                rec = {
+                    "pair": [i, j],
+                    "matches": res["n_matches"],
+                    "inlier_percent": float(res["inlier_percent"]),
+                    "n_inliers": int(len(res["idx_j"])),
+                    "success": res["count"] >= 0,
+                }
+                metrics["pairs"].append(rec)
+                if not quiet:
+                    print(
+                        f"  pair ({i},{j}): {res['n_matches']} matches, "
+                        f"{res['inlier_percent']:.2f} inliers"
+                    )
+                if res["n_matches"] < 10 or len(res["idx_j"]) < 8:
+                    continue
+                edges[(i, j)] = {
+                    "R": res["camera"][:, :3],
+                    "t": res["camera"][:, 3],
+                    "idx_i": res["idx_i"],
+                    "idx_j": res["idx_j"],
+                }
+                pair_matches[(i, j)] = (res["idx_i"], res["idx_j"])
+        else:
+            for (i, j) in pair_list:
+                key, sub = jax.random.split(key)
+                rec, edge = _match_pair_loop(
+                    kps, pts_cal, i, j, sub, ropts, min_ratio, quiet
                 )
-            if len(inl) < 8:
-                continue
-            edges[(i, j)] = {
-                "R": res["camera"][:, :3],
-                "t": res["camera"][:, 3],
-                "idx_i": mi[inl],
-                "idx_j": mj[inl],
-            }
-            pair_matches[(i, j)] = (mi[inl], mj[inl])
+                metrics["pairs"].append(rec)
+                if edge is not None:
+                    edges[(i, j)] = edge
+                    pair_matches[(i, j)] = (edge["idx_i"], edge["idx_j"])
 
     if not edges:
         raise RuntimeError("no usable image pairs")
-    metrics["pairs_seconds"] = t_pairs.elapsed
+    pairs_elapsed = t_pairs.elapsed
+    metrics["pairs_seconds"] = pairs_elapsed
     metrics["pairs_per_second"] = (
-        len(pair_list) / t_pairs.elapsed if t_pairs.elapsed else None
+        len(pair_list) / pairs_elapsed if pairs_elapsed else None
     )
 
     with Timer("sfm-graph", quiet) as t_graph:

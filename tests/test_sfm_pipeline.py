@@ -134,6 +134,33 @@ def test_run_sfm_end_to_end_with_checkpoint(tmp_path, rng):
     assert ate_rmse(est_C2, est_C) < 0.02 * span
 
 
+def test_run_sfm_batched_pair_backend(tmp_path, rng):
+    """pair_backend='batched' routes ALL pairs through the masked
+    multi-chip two-view step in one dispatch (round-2 verdict item 7)
+    and must reconstruct the same scene the loop backend does."""
+    import jax
+
+    from spectavi_tpu.pipeline.sfm import run_sfm
+    from spectavi_tpu.sfm.ate import ate_rmse, camera_centers
+
+    paths, kfile, gt_C = _tiny_dataset(tmp_path, rng)
+    res = run_sfm(
+        paths,
+        kfile,
+        key=jax.random.PRNGKey(0),
+        quiet=True,
+        pair_backend="batched",
+        ransac_options={"reprojection_error_allowed": 3e-3},
+    )
+    assert res["metrics"]["pair_backend"] == "batched"
+    assert res["points"].shape[0] > 30
+    assert np.isfinite(res["points"]).all()
+    assert all(p["matches"] >= 10 for p in res["metrics"]["pairs"])
+    est_C = camera_centers(res["cams"])
+    span = np.ptp(gt_C, axis=0).max()
+    assert ate_rmse(est_C, gt_C) < 0.10 * span
+
+
 def test_run_two_view_writes_metrics(tmp_path, rng):
     """The two-view pipeline must drop a machine-readable metrics.json
     next to its outputs (round-2 verdict §5.5)."""
