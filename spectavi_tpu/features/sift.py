@@ -66,36 +66,37 @@ def _blur(im, sigma):
     """Separable Gaussian blur with replicate padding (vlfeat's
     PAD_BY_CONTINUITY convolution).
 
-    The row pass is a lane-dimension conv.  The column pass is a sum of
-    statically shifted row slices: expressing it as a spatial conv with
-    a width-1 lane dim makes XLA (TPU) pick a space-to-depth layout
-    whose padding explodes 128x under vmap — 2.9 GB per level on a
-    castle-size image — while the shifted-slice sum keeps the natural
-    ``(H, W)`` lanes-on-W layout and fuses into one VPU loop.
+    BOTH passes are sums of statically shifted slices in fp32 — pure
+    VPU work that XLA fuses into one loop per pass, keeping the natural
+    ``(H, W)`` lanes-on-W layout.  Measured on the v5e
+    (``benchmarks/profile_blur_variants.py``): a castle-octave(-1)
+    blur is ~1 ms this way, while a 1-channel
+    ``conv_general_dilated`` row pass costs ~55 ms (single-channel
+    convs hit a pathological MXU layout), and a width-1-lane spatial
+    conv col pass explodes its padding 128x under vmap.  fp32 slice
+    sums differ from the HIGHEST-precision conv by <=2 ulp on [0,1)
+    images — below the DoG detection thresholds (golden-parity tests
+    unchanged).
     """
     if sigma < 1e-8:
         return im
     k = _gaussian_kernel(sigma)
     r = (k.shape[0] - 1) // 2
+
+    def pass_along(a, axis, n):
+        acc = float(k[0]) * jax.lax.slice_in_dim(a, 0, n, axis=axis)
+        for d in range(1, 2 * r + 1):
+            acc = acc + float(k[d]) * jax.lax.slice_in_dim(
+                a, d, d + n, axis=axis
+            )
+        return acc
+
     # rows (along W)
     p = jnp.pad(im, ((0, 0), (r, r)), mode="edge")
-    # HIGHEST precision: the TPU default runs convs through bf16 MXU
-    # passes, and DoG extremum detection thresholds tiny differences of
-    # blurred images — bf16 blur changes the detected keypoint SET
-    im = jax.lax.conv_general_dilated(
-        p[None, None, :, :],
-        jnp.asarray(k)[None, None, None, :],
-        (1, 1),
-        "VALID",
-        precision=jax.lax.Precision.HIGHEST,
-    )[0, 0]
+    im = pass_along(p, 1, im.shape[1])
     # cols (along H)
     p = jnp.pad(im, ((r, r), (0, 0)), mode="edge")
-    H = im.shape[0]
-    acc = float(k[0]) * jax.lax.slice_in_dim(p, 0, H, axis=0)
-    for d in range(1, 2 * r + 1):
-        acc = acc + float(k[d]) * jax.lax.slice_in_dim(p, d, d + H, axis=0)
-    return acc
+    return pass_along(p, 0, im.shape[0])
 
 
 def _upsample2(im):

@@ -6,9 +6,11 @@ the reference walks one query at a time with a heap and monotone
 early-exit pruning; on TPU the whole ``(yrows, xrows)`` distance matrix
 is computed in tiles and reduced with a streaming/batched top-k.
 Pruning is data-dependent control flow that the MXU/VPU cannot exploit
-— dense tiled evaluation wins by throughput, and results are exact
-(the reference's ``mu`` approximation knob is accepted for API parity
-but exact answers are always returned, a strict superset of accuracy).
+— dense tiled evaluation wins by throughput.  With ``mu = 0`` (the
+default) results are exact; ``mu > 0`` enables the reference's
+approximate extrapolation pruning, realized here as a two-stage batch
+program (:func:`_lp_topk_chunk_mu`) with the same may-drop-neighbours
+semantics.
 
 The SSE ``_mm_sad_epu8`` path of the reference maps to the fused
 Pallas MXU matcher (:mod:`spectavi_tpu.ops.l2nn_pallas`, squared-L2 —
@@ -143,6 +145,13 @@ def nn_bruteforce(x, y, p=0.5, mu=0.0, k=2, use_int=False, chunk=1024,
     survivors (default ``max(8k, X // 8)``).  Higher ``mu`` prunes
     harder and may drop true neighbours — exactly the reference's
     documented trade; ``mu = 0`` keeps the exact dense kernel.
+
+    NOTE one extra approximation beyond the reference: survivors are
+    *ranked by prefix-only partial distance* and capped at
+    ``prune_candidates``, so even as ``mu -> 0+`` a true neighbour
+    whose first ``prune_dims`` dims are uninformative can be missed
+    (the reference's sequential scan has no such cap).  For small
+    ``mu`` raise ``prune_candidates`` (or ``prune_dims``) to tighten.
     """
     x = np.asarray(x)
     y = np.asarray(y)
@@ -155,10 +164,17 @@ def nn_bruteforce(x, y, p=0.5, mu=0.0, k=2, use_int=False, chunk=1024,
         yq = y.astype("float32")
     if mu > 0.0:
         D, X = x.shape[1], x.shape[0]
-        d0 = int(prune_dims) if prune_dims else max(1, D // 4)
-        d0 = min(max(d0, 1), D)
-        m = int(prune_candidates) if prune_candidates else max(8 * k, X // 8)
-        m = min(max(m, k), X)
+        if prune_dims is not None and int(prune_dims) < 1:
+            raise ValueError(f"prune_dims must be >= 1, got {prune_dims}")
+        if prune_candidates is not None and int(prune_candidates) < k:
+            raise ValueError(
+                f"prune_candidates must be >= k ({k}), got {prune_candidates}"
+            )
+        d0 = int(prune_dims) if prune_dims is not None else max(1, D // 4)
+        d0 = min(d0, D)
+        m = (int(prune_candidates) if prune_candidates is not None
+             else max(8 * k, X // 8))
+        m = min(m, X)
         # mu is in distance units (already the x100 scale for use_int —
         # the reference passes it through unscaled too,
         # spectavi/feature.py:283-288)

@@ -112,6 +112,25 @@ def _match_pairs_batched(kps, pts_cal, pair_list, key, ropts, min_ratio,
         descs.append((d + 128).astype(np.uint8))
         coords.append(pc.astype(np.float32))
 
+    # a view with zero keypoints cannot seed the replicate-row padding
+    # (descs[i][0] would raise); such pairs are unreconstructable — skip
+    # them up front, mirroring the loop path's <10-matches skip
+    empty = [
+        (i, j) for (i, j) in pair_list
+        if descs[i].shape[0] == 0 or descs[j].shape[0] == 0
+    ]
+    if empty:
+        skipped = [
+            {"pair": (i, j), "n_matches": 0, "skipped": True}
+            for (i, j) in empty
+        ]
+        pair_list = [p for p in pair_list if p not in set(empty)]
+        if not pair_list:
+            return skipped
+        B = len(pair_list)
+    else:
+        skipped = []
+
     def ceil_to(n, m):
         return ((n + m - 1) // m) * m
 
@@ -167,7 +186,7 @@ def _match_pairs_batched(kps, pts_cal, pair_list, key, ropts, min_ratio,
             "idx_j": inl_j,
             "inlier_percent": (len(inl_j) / n_match) if n_match else 0.0,
         })
-    return results
+    return skipped + results
 
 
 def run_sfm(
@@ -258,6 +277,13 @@ def run_sfm(
             )
             for res in batch:
                 i, j = res["pair"]
+                if res.get("skipped"):
+                    metrics["pairs"].append(
+                        {"pair": [i, j], "matches": 0, "skipped": True}
+                    )
+                    if not quiet:
+                        print(f"  pair ({i},{j}): empty view, skipped")
+                    continue
                 if res["n_matches"] >= 10 and len(res["idx_j"]) < 8:
                     # rare single-shot batch-RANSAC failure (the gated
                     # trial batch found no valid hypothesis); retry this
@@ -277,7 +303,14 @@ def run_sfm(
                     "matches": res["n_matches"],
                     "inlier_percent": float(res["inlier_percent"]),
                     "n_inliers": int(len(res["idx_j"])),
-                    "success": res["count"] >= 0,
+                    # same statistical semantics as the loop path
+                    # (reference src/RansacFitter.h:75-76): success iff
+                    # the inlier fraction clears the required threshold
+                    "success": bool(
+                        res["count"] >= 0
+                        and res["inlier_percent"]
+                        >= ropts["required_percent_inliers"]
+                    ),
                 }
                 metrics["pairs"].append(rec)
                 if not quiet:
