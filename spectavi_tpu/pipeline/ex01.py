@@ -30,8 +30,10 @@ def main(argv=None):
     )
     parser.add_argument(
         "--matching_method",
-        default="cascading-hash",
-        choices=["bruteforce", "cascading-hash", "l2-mxu"],
+        default="auto",
+        choices=["auto", "bruteforce", "cascading-hash", "l2-mxu"],
+        help="'auto' = exact MXU L2 top-2 on accelerators, the "
+        "reference example's cascading-hash on CPU",
     )
     parser.add_argument("--outdir", default="ex01_out", type=str)
     parser.add_argument("--rsf", default=1.0, type=float)
