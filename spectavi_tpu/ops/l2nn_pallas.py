@@ -48,15 +48,19 @@ _TY = 2048  # query lanes per grid step
 
 # Packed-key overflow budget.  The kernel packs ``key = 256*d2 + row8``
 # into int32 with ``d2 = xx - 2*xy`` (query norm added back outside).
-# Per int8 dimension ``xx - 2*xy <= 128^2 + 2*128*128 = 49152``, so the
-# key stays exact only while ``256 * 49152 * Dp + 255 < 2^31`` AND the
-# padded-row sentinel still dominates every real key — both hold for
-# Dp = 128 (max real d2 = 6 291 456 < sentinel 8 388 352, max packed
-# sentinel key = 2 147 418 367 < 2^31-1) and BREAK at Dp = 256.  Inputs
-# pad D up to a multiple of 128, so the kernel accepts D <= 128 only;
+# Per int8 dimension ``xx - 2*xy <= 127^2 + 2*128*127 = 48641 <
+# _D2_PER_DIM``.  Zero-padded dimensions (D is padded up to a multiple
+# of 128 for the MXU) contribute exactly 0 to both ``xx`` and ``xy``,
+# so the budget is set by the REAL descriptor width D, not the padded
+# Dp.  The key stays exact while ``256 * _D2_PER_DIM * D + 255 < 2^31``
+# AND the padded-row sentinel dominates every real key
+# (``_D2_PER_DIM * D < _PAD_SENTINEL``) — both hold through D = 168
+# (max real key 256*49152*168 = 2 113 929 216 < 2^31-1; max real d2
+# 8 257 536 < sentinel 8 388 096).  168 covers the pipeline's 144-wide
+# rows (132-col SIFT rows padded to a multiple of 16);
 # :func:`l2_topk2_fused` routes wider descriptors to the XLA path.
 _D2_PER_DIM = 49152
-_MAX_D = 128
+_MAX_D = 168
 _PAD_SENTINEL = (1 << 23) - _TX  # > _D2_PER_DIM*_MAX_D, packs within int32
 
 
@@ -205,8 +209,8 @@ def l2_topk2_fused(x, y, interpret=False):
     yi = _to_i8(y)
     X, D = xi.shape
     if D > _MAX_D:
-        # packed int32 keys overflow beyond 128 dims (see module
-        # constants); the XLA lowering is exact at any width
+        # packed int32 keys overflow beyond _MAX_D real dims (see
+        # module constants); the XLA lowering is exact at any width
         from spectavi_tpu.ops.l2nn import l2_topk_mxu
 
         return l2_topk_mxu(xi, yi, k=2)

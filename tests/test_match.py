@@ -104,9 +104,17 @@ def test_pallas_l2_fused_kernel_interpret_exact(rng):
 
     # small-range values force many distance ties; odd shapes force
     # padding in every dimension
-    for (X, Y, D) in ((137, 75, 32), (1000, 700, 128), (300, 333, 16)):
-        x = rng.integers(0, 4, size=(X, D)).astype("uint8")
-        y = rng.integers(0, 4, size=(Y, D)).astype("uint8")
+    # 144 is the pipeline width (132-col SIFT rows padded to x16); the
+    # full 0-255 value range there stresses the packed-key budget at
+    # its documented D <= 168 limit
+    for (X, Y, D, hi) in (
+        (137, 75, 32, 4),
+        (1000, 700, 128, 4),
+        (300, 333, 16, 4),
+        (400, 280, 144, 256),
+    ):
+        x = rng.integers(0, hi, size=(X, D)).astype("uint8")
+        y = rng.integers(0, hi, size=(Y, D)).astype("uint8")
         ip, dp = l2_topk2_fused(jnp.asarray(x), jnp.asarray(y), interpret=True)
         d = ((x.astype(np.int64)[None] - y.astype(np.int64)[:, None]) ** 2).sum(-1)
         gi = np.argsort(d, 1, kind="stable")[:, :2]
@@ -136,19 +144,19 @@ def test_pallas_l2_fused_sharded_merge(rng):
 
 
 def test_pallas_l2_wide_descriptors_guarded(rng):
-    """Descriptors wider than 128 dims would overflow the kernel's
+    """Descriptors wider than 168 real dims would overflow the kernel's
     packed int32 keys: the raw kernel must refuse them and the fused
     entry must route them to the exact XLA path."""
     import jax.numpy as jnp
 
     from spectavi_tpu.ops.l2nn_pallas import l2_topk2_fused, l2_topk2_pallas
 
-    D = 160  # pads to 256 > the 128-dim packed-key budget
+    D = 192  # beyond the documented D <= 168 packed-key budget
     x = rng.integers(0, 256, size=(300, D)).astype("uint8")
     y = rng.integers(0, 256, size=(120, D)).astype("uint8")
     xi = jnp.asarray((x.astype(np.int32) - 128).astype(np.int8))
     yi = jnp.asarray((y.astype(np.int32) - 128).astype(np.int8))
-    with pytest.raises(ValueError, match="exact only up to D=128"):
+    with pytest.raises(ValueError, match="exact only up to D=168"):
         l2_topk2_pallas(xi, yi, interpret=True)
     ip, dp = l2_topk2_fused(jnp.asarray(x), jnp.asarray(y))
     d = ((x.astype(np.int64)[None] - y.astype(np.int64)[:, None]) ** 2).sum(-1)
