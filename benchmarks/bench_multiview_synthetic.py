@@ -117,6 +117,11 @@ def main(argv=None):
     ap.add_argument("--size", nargs=2, default=[480, 640], type=int)
     ap.add_argument("--outdir", default="/tmp/synth_mv")
     ap.add_argument("--seed", default=3, type=int)
+    ap.add_argument(
+        "--pair_backend", default="loop", choices=["loop", "batched"],
+        help="pairwise match+RANSAC execution: one dispatch per pair "
+        "('loop') or all pairs as one jitted program ('batched')",
+    )
     args = ap.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
@@ -166,8 +171,18 @@ def main(argv=None):
         # texture), not the sub-pixel photographs the castle threshold
         # assumes: 1 px at f=1.1*W is ~1.4e-3 in normalized coordinates
         ransac_options={"reprojection_error_allowed": 2e-3},
+        pair_backend=args.pair_backend,
     )
     wall = time.time() - t0
+    m = res["metrics"]
+    print(
+        f"pair_backend={args.pair_backend}: "
+        f"sift {m['sift_seconds']:.2f}s, "
+        f"pairs {m['pairs_seconds']:.2f}s ({m['pairs_per_second']:.2f} pairs/s), "
+        f"graph {m['graph_seconds']:.2f}s, "
+        f"ba {m['ba_seconds']:.2f}s ({m['ba_iters_per_second']:.2f} iters/s)",
+        flush=True,
+    )
     est_C = camera_centers(res["cams"])
     ate = ate_rmse(est_C, gt_C)
     traj_span = np.ptp(gt_C, axis=0).max()

@@ -161,6 +161,45 @@ def test_run_sfm_batched_pair_backend(tmp_path, rng):
     assert ate_rmse(est_C, gt_C) < 0.10 * span
 
 
+def test_pair_backends_success_semantics_agree(tmp_path, rng):
+    """Both pair backends must report the reference's statistical
+    ``success`` semantics (``src/RansacFitter.h:75-76``): success iff
+    the pair's inlier fraction clears ``required_percent_inliers``.
+    Round 3 shipped a degenerate batched flag (``count >= 0`` — true
+    for any non-gated model); this pins the repaired agreement."""
+    import jax
+
+    from spectavi_tpu.pipeline.sfm import run_sfm
+
+    paths, kfile, _ = _tiny_dataset(tmp_path, rng)
+    # note 1.01: the rendered scene is clean enough for 100% consensus,
+    # so only an unreachable threshold forces the failure branch
+    for required, expect in ((0.05, True), (1.01, False)):
+        recs = {}
+        for backend in ("loop", "batched"):
+            res = run_sfm(
+                paths,
+                kfile,
+                key=jax.random.PRNGKey(0),
+                quiet=True,
+                pair_backend=backend,
+                ransac_options={
+                    "reprojection_error_allowed": 3e-3,
+                    "required_percent_inliers": required,
+                },
+            )
+            recs[backend] = res["metrics"]["pairs"]
+            for p in res["metrics"]["pairs"]:
+                if p.get("skipped"):
+                    continue
+                # the flag must BE the statistical rule, per pair
+                assert p["success"] == (
+                    p["inlier_percent"] >= required
+                ), (backend, required, p)
+                # and at these extreme thresholds the outcome is forced
+                assert p["success"] == expect, (backend, required, p)
+
+
 def test_run_two_view_writes_metrics(tmp_path, rng):
     """The two-view pipeline must drop a machine-readable metrics.json
     next to its outputs (round-2 verdict §5.5)."""
