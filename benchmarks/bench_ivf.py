@@ -58,7 +58,7 @@ def main():
     import jax
 
     from spectavi_tpu.match import nn_ivf
-    from spectavi_tpu.ops.l2nn import l2_topk_mxu
+    from spectavi_tpu.ops.l2nn import l2_topk2
 
     rng = np.random.default_rng(0)
     print(f"backend: {jax.default_backend()}", flush=True)
@@ -71,15 +71,19 @@ def main():
         ii, dd = nn_ivf(x, y)
         ivf_wall = time.time() - t0
 
-        # dense wall only where the (Y, X) intermediate fits
+        # dense baseline: the production exact matcher.  On TPU it is
+        # the fused Pallas kernel, which STREAMS the distance matrix
+        # through VMEM (no (Y, X) intermediate) and so scales to 100k+;
+        # on CPU the XLA lowering materializes (Y, X) int32, so sizes
+        # beyond 32768 are skipped there (40 GB at 100k).
         dense_wall = None
-        if n <= 32768:
+        if n <= 32768 or jax.default_backend() == "tpu":
             import jax.numpy as jnp
 
             xu = x.astype(np.uint8)
             yu = y.astype(np.uint8)
             t0 = time.time()
-            di, _ = l2_topk_mxu(jnp.asarray(xu), jnp.asarray(yu), k=2)
+            di, _ = l2_topk2(jnp.asarray(xu), jnp.asarray(yu))
             np.asarray(di)
             dense_wall = time.time() - t0
 
