@@ -50,6 +50,17 @@ def kmedians(key, x, k, niter=8):
     """Cluster ``x (N, D)`` into ``k`` L1 medians.
 
     Returns ``(medians (k, D), assign (N,) int32)``.
+
+    Memory discipline (round-4 verdict item 8): the obvious masked
+    median materializes a ``(k, N, D)`` intermediate — 13 GB at
+    50k x 132 with the auto cluster count — so the update instead
+    computes an EXACT grouped median with two stable sorts per
+    dimension: sort values, stable-sort that order by cluster id
+    (a lexicographic (cluster, value) sort), then gather each
+    cluster's middle element(s) from its contiguous run.  Everything
+    is ``(N, D)``-shaped.  The assignment distance matrix is likewise
+    streamed in row chunks instead of materializing ``(N, k, D)``.
+    A 50k x 132 / k=500 run fits in well under 2 GB.
     """
     N, D = x.shape
     perm = jax.random.permutation(key, N)
@@ -60,24 +71,40 @@ def kmedians(key, x, k, niter=8):
     )
 
     def update_medians(assign):
-        member = assign[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]  # (k, N)
-        vals = jnp.where(member[:, :, None], x[None, :, :], jnp.nan)
-        med = jnp.nanmedian(vals, axis=1)  # (k, D)
-        # keep an arbitrary point for empty clusters to avoid NaNs
-        med = jnp.where(jnp.isnan(med), x[: 1, :], med)
-        return med
+        # lexicographic (cluster, value) order via two stable argsorts
+        order1 = jnp.argsort(x, axis=0, stable=True)  # (N, D) value order
+        a1 = assign[order1]  # cluster ids in value order
+        order2 = jnp.argsort(a1, axis=0, stable=True)
+        final = jnp.take_along_axis(order1, order2, axis=0)
+        sorted_vals = jnp.take_along_axis(x, final, axis=0)  # (N, D)
+        counts = jnp.bincount(assign, length=k)  # (k,)
+        starts = jnp.concatenate(
+            [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)[:-1]]
+        )
+        lo = starts + (counts - 1) // 2  # middle element(s) of each run
+        hi = starts + counts // 2
+        med = (sorted_vals[lo, :] + sorted_vals[hi, :]) / 2.0  # (k, D)
+        # empty clusters: lo/hi index another cluster's run — keep an
+        # arbitrary point instead (same convention as before)
+        return jnp.where((counts > 0)[:, None], med, x[:1, :])
 
-    def step(assign, _):
-        med = update_medians(assign)
-        dist = _l1(x, med)  # (N, k)
-        return jnp.argmin(dist, axis=1).astype(jnp.int32), None
+    # row-chunked assignment: peak (chunk, k, D) instead of (N, k, D)
+    chunk = max(1, min(N, int(64e6) // max(k * D * 4, 1)))
+    pad = (-N) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+
+    def assign_points(med):
+        def per_chunk(xc):
+            d = jnp.abs(xc[:, None, :] - med[None, :, :]).sum(-1)
+            return jnp.argmin(d, axis=1).astype(jnp.int32)
+
+        out = jax.lax.map(per_chunk, xp.reshape(-1, chunk, D))
+        return out.reshape(-1)[:N]
 
     assign = init_assign
-    med = update_medians(assign)
     for _ in range(niter):
-        assign, _ = step(assign, None)
-    med = update_medians(assign)
-    return med, assign
+        assign = assign_points(update_medians(assign))
+    return update_medians(assign), assign
 
 
 @partial(jax.jit, static_argnames=("nmx", "nmy", "c", "k"))

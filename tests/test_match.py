@@ -208,6 +208,27 @@ def test_nn_kmedians_budget(rng):
     assert diff <= 2 * round(0.4 * xrows)
 
 
+def test_kmedians_grouped_median_exact(rng):
+    """The two-sort grouped median (round-4 memory redesign: no
+    (k, N, D) intermediate) must produce the exact per-cluster
+    per-dimension medians of the final assignment — pinned against a
+    numpy masked-median oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectavi_tpu.match.kmedians import kmedians
+
+    x = rng.standard_normal((257, 19)).astype("float32")  # odd shapes
+    med, assign = kmedians(jax.random.PRNGKey(3), jnp.asarray(x), 7, niter=4)
+    med, assign = np.asarray(med), np.asarray(assign)
+    for c in range(7):
+        rows = x[assign == c]
+        if len(rows):
+            np.testing.assert_allclose(
+                med[c], np.median(rows, axis=0), rtol=0, atol=1e-6
+            )
+
+
 def test_nn_cascading_hash_budget(rng):
     x = rng.standard_normal((200, 144)).astype("float32")
     y = rng.standard_normal((200, 144)).astype("float32")
