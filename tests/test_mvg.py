@@ -167,3 +167,41 @@ def test_ransac_input_validation():
         mvg.ransac_fitter(np.zeros((5, 3)), np.zeros((5, 3)))
     with pytest.raises(ValueError):
         mvg.ransac_fitter(np.zeros((12, 3)), np.zeros((11, 3)))
+
+
+def test_sampson_prescreen_ranking_fidelity(rng):
+    """The Sampson prescreen (`_sampson_counts`, round-4 38x scoring
+    speedup) only RANKS hypotheses; `_score_hypotheses` remains the
+    reference-criterion oracle.  On a simulated two-view problem the
+    prescreen must (a) agree exactly on the SVR/validity gate and
+    (b) place the oracle's best hypothesis inside the top-16 seed
+    shortlist that the LO polish re-scores."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectavi_tpu.mvg.ransac import (
+        _sample_subsets,
+        _sampson_counts,
+        _score_hypotheses,
+    )
+    from spectavi_tpu.mvg.sevenpoint import seven_point
+
+    x0h, x1h, _ = _simulated_two_view(rng)
+    x0 = jnp.asarray(x0h[:, :2] / x0h[:, 2:3], jnp.float32)
+    x1 = jnp.asarray(x1h[:, :2] / x1h[:, 2:3], jnp.float32)
+    N = x0.shape[0]
+    pm = jnp.ones(N, bool)
+    for seed in range(3):
+        sample = _sample_subsets(jax.random.PRNGKey(seed), N, 512, pm)
+        F, valid = seven_point(x0[sample], x1[sample], nullspace="mgs")
+        cs, gate = _sampson_counts(F, valid, x0, x1, pm, 0.5, 3e-2)
+        cf = np.asarray(
+            _score_hypotheses(F, valid, x0, x1, pm, 0.5, 3e-2)
+        ).reshape(-1)
+        gated = np.asarray(jnp.where(gate, cs, -1)).reshape(-1)
+        # (a) identical gates
+        assert ((gated >= 0) == (cf >= 0)).all()
+        # (b) oracle argmax inside the Sampson top-16
+        best_full = int(np.argmax(cf))
+        top16 = set(np.argsort(-gated)[:16].tolist())
+        assert best_full in top16, (seed, best_full, cf[best_full])
