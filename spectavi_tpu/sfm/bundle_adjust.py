@@ -443,11 +443,16 @@ def _lm_iteration(cams, pts, k, cam_idx, pt_idx, uv, w, delta, lam,
                   fixed_cam_mask, cg_iters, robust, joint):
     """One COMPLETE LM iteration as a single device program: IRLS
     reweighting of the current state, the damped Gauss-Newton step, and
-    the candidate state's (robust) objective.  The host loop previously
-    paid three dispatch+pull round trips per iteration (weights, step,
-    objective) — on the high-latency tunnel that was most of the BA
-    wall (measured 11.8-19.1 accepted iters/s on chip); one fused
-    dispatch returns everything the accept/reject decision needs."""
+    the candidate state's (robust) objective.
+
+    Measured honestly (round 4, 10 cams / 5.2k pts / 15.7k obs on
+    chip): fusing does NOT beat the old three-call sequence (54.3 vs
+    54.7 ms/iter) — JAX's async dispatch already overlapped the three
+    kernels and only the final cost pull blocked.  It is kept because
+    it gives the host loop one obvious sequencing point, lets XLA fuse
+    the reweighting into the step's residual build, and cuts the
+    host-side trace/dispatch bookkeeping; the BA wall at this size is
+    kernel time (~54 ms/iter -> ~18 iters/s ceiling)."""
     if robust:
         n = _residual_norms(cams, pts, cam_idx, pt_idx, uv, k)
         w_eff = w * jnp.sqrt(huber_weights(n, delta))
