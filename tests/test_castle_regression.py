@@ -86,12 +86,15 @@ def castle_cloud(tmp_path_factory):
 
 def test_castle_inlier_consensus(castle_cloud):
     """RANSAC must keep finding a strong essential-matrix consensus on
-    the real castle matches (round-2 recorded 53.4% on 3867 matches —
-    below the "ultra" preset's 80% bar, so ``success`` is False by
-    design and ``find_best_even_in_failure`` keeps the model, exactly
-    the reference ex01's behaviour on castle)."""
+    the real castle matches (round-2 recorded 53.4% on 3867 matches;
+    round 4's near-miss LO seeding reaches 0.66-0.70 across seeds on
+    this fixture — the bar pins that level so a seeding/scoring
+    regression shows up.  Still below the "ultra" preset's 80%
+    requirement, so ``success`` is False by design and
+    ``find_best_even_in_failure`` keeps the model, exactly the
+    reference ex01's behaviour on castle)."""
     _, ransac = castle_cloud
-    assert ransac["inlier_percent"] > 0.45
+    assert ransac["inlier_percent"] > 0.55
     assert np.isfinite(ransac["essential"]).all()
     assert ransac["n_inliers"] > 1500
 
