@@ -377,10 +377,9 @@ def run_sfm(
         mask = tracks != -1
         T = tracks.shape[0]
         uv_tab = np.zeros((T, V, 2))
-        for t in range(T):
-            for v in range(V):
-                if tracks[t, v] != -1:
-                    uv_tab[t, v] = pts_cal[v][tracks[t, v]]
+        for v in range(V):  # vectorized per view (tracks is (T, V))
+            sel = mask[:, v]
+            uv_tab[sel, v] = pts_cal[v][tracks[sel, v]]
         X0 = np.asarray(
             triangulate_nview(jnp.asarray(P), jnp.asarray(uv_tab), jnp.asarray(mask))
         )

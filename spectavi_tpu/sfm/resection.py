@@ -161,6 +161,41 @@ def pnp_ransac(X, uv, key=None, trials=512, sample_size=6,
     }
 
 
+@jax.jit
+def _structure_from_registered(cams, reg, uv_all, obs_mask, thresh):
+    """Triangulate + validate ALL tracks against the registered views
+    as one fixed-shape device program.
+
+    Shapes never depend on how many views are registered (unregistered
+    views are masked out), so the 8-10 calls an incremental run makes
+    reuse ONE compiled program — the previous per-view host loop
+    (``pose_matrix``/``rodrigues`` + a value pull per registered view)
+    spent ~1 s/call in transfer round trips on the tunnel (profiled:
+    332 pulls = 20 s of a 24 s warm 10-view run).
+
+    Returns ``(Xw (T, 3), good (T,))``: structure from >=2 registered
+    observations, in front of every observing registered camera, and
+    max reprojection error within 3x the PnP threshold.
+    """
+    R = rodrigues(cams[:, :3])  # (V, 3, 3)
+    P = jnp.concatenate([R, cams[:, 3:, None]], axis=2)  # (V, 3, 4)
+    m = obs_mask & reg[None, :]
+    usable = m.sum(1) >= 2
+    from spectavi_tpu.sfm.pose_graph import triangulate_nview
+
+    Xh = triangulate_nview(P, uv_all, m)
+    wc = jnp.where(jnp.abs(Xh[:, 3:]) > 1e-12, Xh[:, 3:], 1e-12)
+    Xw = Xh[:, :3] / wc
+    Xc = jnp.einsum("vij,tj->tvi", R, Xw) + cams[None, :, 3:]  # (T, V, 3)
+    depth = Xc[..., 2]
+    safe = jnp.where(jnp.abs(depth) > 1e-30, depth, 1e-30)
+    proj = Xc[..., :2] / safe[..., None]
+    err = jnp.linalg.norm(proj - uv_all, axis=-1)  # (T, V)
+    ok = (~m) | ((depth > 1e-9) & (err < 3.0 * thresh))
+    good = usable & ok.all(axis=1)
+    return Xw, good
+
+
 def incremental_poses(edges, n_views, keypoints, tracks, ref_view=0,
                       reproj_thresh=2e-3, key=None, min_corr=8,
                       ba_every=3, ba_iters=8):
@@ -181,8 +216,6 @@ def incremental_poses(edges, n_views, keypoints, tracks, ref_view=0,
     :func:`build_tracks`).  Returns ``(cams (n_views, 6),
     registered (n_views,) bool)``.
     """
-    from spectavi_tpu.sfm.pose_graph import pose_matrix, triangulate_nview
-
     if key is None:
         key = jax.random.PRNGKey(0)
     tracks = np.asarray(tracks)
@@ -214,35 +247,19 @@ def incremental_poses(edges, n_views, keypoints, tracks, ref_view=0,
         cams[v, 3:] = t
         registered[v] = True
 
+    uv_all_j = jnp.asarray(uv_all)
+    obs_mask_j = jnp.asarray(obs_mask)
+    thresh_j = jnp.asarray(float(reproj_thresh))
+
     def triangulate_registered():
-        """(Xw, good): structure + validity from the registered views:
-        >= 2 observations, in front of every observing camera, and
-        max reprojection error within 3x the PnP threshold (filters
-        outlier tracks that survived track building)."""
-        reg_idx = np.nonzero(registered)[0]
-        P = jnp.asarray(np.stack([pose_matrix(cams[v, :3], cams[v, 3:])
-                                  for v in reg_idx]))
-        m = obs_mask[:, reg_idx]
-        usable = m.sum(1) >= 2
-        Xh = np.asarray(
-            triangulate_nview(
-                P, jnp.asarray(uv_all[:, reg_idx]), jnp.asarray(m)
-            )
+        """(Xw, good): structure + validity from the registered views
+        (one fixed-shape device call, see
+        :func:`_structure_from_registered`)."""
+        Xw, good = _structure_from_registered(
+            jnp.asarray(cams), jnp.asarray(registered),
+            uv_all_j, obs_mask_j, thresh_j,
         )
-        wcomp = np.where(np.abs(Xh[:, 3:]) > 1e-12, Xh[:, 3:], 1e-12)
-        Xw = Xh[:, :3] / wcomp
-        good = usable.copy()
-        for vi, v in enumerate(reg_idx):
-            Rv = np.asarray(rodrigues(jnp.asarray(cams[v, :3])))
-            Xc = Xw @ Rv.T + cams[v, 3:]
-            depth = Xc[:, 2]
-            seen = m[:, vi]
-            good &= ~seen | (depth > 1e-9)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                proj = Xc[:, :2] / depth[:, None]
-                err = np.linalg.norm(proj - uv_all[:, v], axis=1)
-            good &= ~seen | (np.nan_to_num(err, nan=np.inf) < 3 * reproj_thresh)
-        return Xw, good
+        return np.asarray(Xw), np.asarray(good)
 
     def local_ba():
         """Consolidate the registered sub-problem (Huber, few iters)."""
