@@ -70,6 +70,10 @@ def imread(filename, dtype="float64", force_grayscale=False):
     """Read an image, max-normalized for float dtypes (reference
     ``example/util.py:41-64``)."""
     im = _decode(filename, os.path.getmtime(filename))
+    if dtype == "uint8":
+        # raw decoded pixels (read-only cache view) — the rectify fast
+        # path uploads these 4x cheaper than the normalized floats
+        return im
     if force_grayscale:
         # luma math in the output precision (f64 matches the reference
         # bit-for-bit; the f32 pipeline path is ~4x faster on this host)

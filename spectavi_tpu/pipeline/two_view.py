@@ -33,9 +33,17 @@ def homogeneous(x):
 
 
 def step1_sift_detect(image_paths, quiet=False):
-    ims = [
-        imread(p, dtype="float32", force_grayscale=True) for p in image_paths
-    ]
+    # decode + luma in parallel threads (PIL/numpy release the GIL;
+    # ~0.35 s/image serial on this host)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(image_paths))) as ex:
+        ims = list(
+            ex.map(
+                lambda p: imread(p, dtype="float32", force_grayscale=True),
+                image_paths,
+            )
+        )
     with Timer("step1-computation", quiet):
         siftkps = sift_filter_batch(ims)
     return siftkps
@@ -158,13 +166,25 @@ def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False, ba=
         RX = np.hstack([pts_ba, np.ones((M, 1))])
     rgb = None
     if image_paths is not None:
-        im0, im1 = images if images is not None else (
-            imread(image_paths[0]), imread(image_paths[1])
-        )
         xy0 = xd[idx, :2].astype("int32")
         xy1 = yd[idx, :2].astype("int32")
-        im0v = im0[xy0[:, 1], xy0[:, 0]]
-        im1v = im1[xy1[:, 1], xy1[:, 0]]
+        if images is not None:
+            im0, im1 = images
+        else:
+            # vertex colors need only the inlier pixels: sample the raw
+            # (cached) u8 decode and max-normalize the SAMPLES — same
+            # f64 math as normalizing the whole image, without paying
+            # the full-frame float conversion on this slow host
+            im0, im1 = (
+                imread(image_paths[0], dtype="uint8"),
+                imread(image_paths[1], dtype="uint8"),
+            )
+        if im0.dtype == np.uint8:
+            im0v = im0[xy0[:, 1], xy0[:, 0]] / np.float64(max(int(im0.max()), 1))
+            im1v = im1[xy1[:, 1], xy1[:, 0]] / np.float64(max(int(im1.max()), 1))
+        else:
+            im0v = im0[xy0[:, 1], xy0[:, 0]]
+            im1v = im1[xy1[:, 1], xy1[:, 0]]
         rgb = np.round(255 * (im0v + im1v) / 2.0).astype("uint8")
         if rgb.ndim == 1:
             rgb = np.stack([rgb] * 3, axis=1)
@@ -176,23 +196,32 @@ def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False, ba=
 def step5_rectify(ransac, K, image_paths, outdir=None, sampling_factor=1.0, quiet=False, images=None):
     P1 = K @ ransac["camera"]
     P0 = K @ np.hstack((np.eye(3), np.zeros((3, 1))))
-    im0, im1 = images if images is not None else (
-        imread(image_paths[0]), imread(image_paths[1])
-    )
     import jax
 
     on_accel = jax.default_backend() != "cpu"
     with Timer("step5-computation", quiet):
         if on_accel:
-            # device fast path: f32 geometry, on-device crop, uint8
-            # pixel pull (the jpgs below are 8-bit regardless)
+            # device fast path: f32 geometry, bbox-windowed gather,
+            # uint8 pixel pull (the jpgs below are 8-bit regardless);
+            # upload the RAW decoded u8 pixels (cached decode, 4x fewer
+            # upload bytes than the normalized floats)
             from spectavi_tpu.mvg.rectify import rectify_pair_quantized
 
+            if images is not None:
+                im0, im1 = images
+            else:
+                im0 = imread(image_paths[0], dtype="uint8")
+                im1 = imread(image_paths[1], dtype="uint8")
+                if im0.dtype != np.uint8 or im0.shape != im1.shape:
+                    im0, im1 = imread(image_paths[0]), imread(image_paths[1])
             r0u, r1u, ri0, ri1 = rectify_pair_quantized(
                 P0, P1, im0, im1, sampling_factor=sampling_factor
             )
             r0, r1 = r0u, r1u  # 8-bit products (what the jpgs store)
         else:
+            im0, im1 = images if images is not None else (
+                imread(image_paths[0]), imread(image_paths[1])
+            )
             r0, r1, ri0, ri1 = mvg.image_pair_rectification(
                 P0, P1, im0, im1, sampling_factor=sampling_factor
             )
@@ -307,21 +336,22 @@ def run_two_view(
             " Singular Values ratio score: ",
             np.abs(s[0] - s[1]) / np.abs(s[0] + s[1]),
         )
-    # decode the color images once for steps 4 (vertex colors) and 5
-    # (rectification source) — jpg decode is ~0.3 s/image on this host
-    # and was previously paid twice; timed so total_seconds stays honest
+    # decode the color images once (raw u8, cached) for steps 4
+    # (vertex colors, sampled at inlier pixels) and 5 (rectification
+    # source) — the full-frame float64 conversion both steps used to
+    # share cost 1-2 s/run on this host and is no longer needed
     t0 = _time.perf_counter()
-    images = (imread(image_paths[0]), imread(image_paths[1]))
+    imread(image_paths[0], dtype="uint8")
+    imread(image_paths[1], dtype="uint8")
     metrics["decode_seconds"] = _time.perf_counter() - t0
     t0 = _time.perf_counter()
     RX, ransac = step4_triangulate(
         step3_out, image_paths, outdir, quiet, ba=ba, distortion=distortion,
-        images=images,
     )
     metrics["step4_seconds"] = _time.perf_counter() - t0
     metrics["n_points"] = int(RX.shape[0])
     t0 = _time.perf_counter()
-    rect = step5_rectify(ransac, K, image_paths, outdir, rsf, quiet, images=images)
+    rect = step5_rectify(ransac, K, image_paths, outdir, rsf, quiet)
     metrics["step5_seconds"] = _time.perf_counter() - t0
     metrics["total_seconds"] = sum(
         v for k, v in metrics.items() if k.endswith("_seconds")
