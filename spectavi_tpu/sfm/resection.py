@@ -99,6 +99,65 @@ def _pnp_hypotheses(X, uv, key, trials, sample_size, thresh):
     return counts[best], Rs[best], ts[best]
 
 
+def _rotation_to_rvec_j(R):
+    """Device twin of :func:`rotation_to_rvec` (branch-free)."""
+    tr = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
+    theta = jnp.arccos(tr)
+    s = 2.0 * jnp.sin(theta)
+    axis_raw = jnp.stack(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]]
+    )
+    axis = axis_raw / jnp.where(jnp.abs(s) > 1e-12, s, 1.0)
+    return jnp.where(theta < 1e-8, jnp.zeros(3, R.dtype), axis * theta)
+
+
+@partial(jax.jit, static_argnames=("trials", "sample_size", "refine_iters"))
+def _pnp_full(X, uv, valid, key, trials, sample_size, thresh, refine_iters):
+    """The whole PnP-RANSAC pipeline as ONE device program over a
+    bucket-padded correspondence set: hypothesis mega-batch, winner
+    selection, axis-angle conversion, masked inlier mask, Gauss-Newton
+    polish, final re-score.  ``valid (Npad,)`` masks padding rows out
+    of sampling (zero probability) and scoring; padding rows replicate
+    row 0 so they stay numerically benign under weight-0 residuals.
+
+    One dispatch + one small pull per registration instead of the
+    previous 3 dispatches with host round trips between them — and one
+    compile per SIZE BUCKET instead of per exact correspondence count
+    (the unbucketed path recompiled hypotheses+refine for every newly
+    registered view: 8 compiles in a cold 10-view run)."""
+    N = X.shape[0]
+
+    def score(R, t):
+        Xc = X @ R.T + t
+        depth = Xc[:, 2]
+        proj = Xc[:, :2] / jnp.where(
+            jnp.abs(depth[:, None]) > 1e-30, depth[:, None], 1e-30
+        )
+        err = jnp.linalg.norm(proj - uv, axis=1)
+        ok = (err <= thresh) & (depth > 0) & valid
+        return ok.sum(), ok
+
+    p = valid.astype(X.dtype) / valid.sum()
+
+    def one(k):
+        sel = jax.random.choice(k, N, shape=(sample_size,), replace=False, p=p)
+        R, t = _pnp_dlt_single(X[sel], uv[sel])
+        count, _ = score(R, t)
+        return count, R, t
+
+    keys = jax.random.split(key, trials)
+    counts, Rs, ts = jax.vmap(one)(keys)
+    best = jnp.argmax(counts)
+    rvec = _rotation_to_rvec_j(Rs[best])
+    tvec = ts[best]
+    _, mask = score(rodrigues(rvec), tvec)
+    rvec, tvec = _pnp_refine(
+        rvec, tvec, X, uv, mask.astype(X.dtype), iters=refine_iters
+    )
+    n_fin, mask = score(rodrigues(rvec), tvec)
+    return rvec, tvec, n_fin, mask
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def _pnp_refine(rvec, tvec, X, uv, w, iters=10, lam=1e-6):
     """Masked Gauss-Newton polish of a single pose (fixed structure)."""
@@ -136,28 +195,25 @@ def pnp_ransac(X, uv, key=None, trials=512, sample_size=6,
     if key is None:
         key = jax.random.PRNGKey(0)
     wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    Xj = jnp.asarray(X, wide)
-    uvj = jnp.asarray(uv, wide)
-    count, R, t = _pnp_hypotheses(
-        Xj, uvj, key, int(trials), int(sample_size),
-        jnp.asarray(reproj_thresh, wide),
+    # pow2 size bucket (>= 256): compile count is bounded by the bucket
+    # count, not the number of distinct correspondence counts
+    Npad = max(256, 1 << int(np.ceil(np.log2(N))))
+    pad = Npad - N
+    Xp = np.concatenate([X, np.repeat(X[:1], pad, axis=0)])
+    uvp = np.concatenate([uv, np.repeat(uv[:1], pad, axis=0)])
+    valid = np.arange(Npad) < N
+    rvec, tvec, n_fin, mask = _pnp_full(
+        jnp.asarray(Xp, wide), jnp.asarray(uvp, wide), jnp.asarray(valid),
+        key, int(trials), int(sample_size),
+        jnp.asarray(reproj_thresh, wide), int(refine_iters),
     )
-    rvec = jnp.asarray(rotation_to_rvec(np.asarray(R)), wide)
-    tvec = jnp.asarray(np.asarray(t), wide)
-    _, mask = _score_pose(jnp.asarray(rodrigues(rvec)), tvec, Xj, uvj,
-                          jnp.asarray(reproj_thresh, wide))
-    w = mask.astype(wide)
-    rvec, tvec = _pnp_refine(rvec, tvec, Xj, uvj, w, iters=int(refine_iters))
-    n_fin, mask = _score_pose(
-        jnp.asarray(rodrigues(rvec)), tvec, Xj, uvj,
-        jnp.asarray(reproj_thresh, wide),
-    )
+    n_fin = int(n_fin)
     return {
         "rvec": np.asarray(rvec),
         "tvec": np.asarray(tvec),
-        "n_inliers": int(n_fin),
-        "inlier_mask": np.asarray(mask),
-        "success": bool(int(n_fin) >= max(6, int(0.3 * N))),
+        "n_inliers": n_fin,
+        "inlier_mask": np.asarray(mask)[:N],
+        "success": bool(n_fin >= max(6, int(0.3 * N))),
     }
 
 
