@@ -227,16 +227,26 @@ def ransac_essential_core(key, x0, x1, trials, reproj_allowed, svr_allowed, poin
     )
     counts = jnp.where(gate, counts, -1)  # strict reference gating here
     flat = counts.reshape(-1)
-    best = jnp.argmax(flat)
-    best_ok = flat[best] >= 0
-    it, ir = jnp.unravel_index(best, counts.shape)
-    Fb = F[it, ir]
-    camera, count, mask = _rescore_best(Fb, x0, x1, point_mask, reproj_allowed)
+    # the Sampson prescreen only guarantees (and is only tested to put)
+    # the exact-criterion winner in the top-k, not at the argmax — so
+    # re-score a k-shortlist under the exact reference criterion and
+    # pick the exact-count argmax (mirrors ransac_fit_block's shortlist
+    # re-scoring; round-4 advisor finding)
+    k_rank = min(8, flat.shape[0])
+    topv, top_i = jax.lax.top_k(flat, k_rank)
+    it, ir = jnp.unravel_index(top_i, counts.shape)
+    Fk = F[it, ir]  # (k, 3, 3)
+    cams, cnts, msks = jax.vmap(
+        lambda Fb: _rescore_best(Fb, x0, x1, point_mask, reproj_allowed)
+    )(Fk)
+    cnts = jnp.where(topv >= 0, cnts, -1)  # gate-failing seeds can't win
+    bi = jnp.argmax(cnts)
+    best_ok = cnts[bi] >= 0
     return {
-        "essential": Fb,
-        "camera": camera,
-        "count": jnp.where(best_ok, count, -1),
-        "inlier_mask": mask & best_ok,
+        "essential": Fk[bi],
+        "camera": cams[bi],
+        "count": jnp.where(best_ok, cnts[bi], -1),
+        "inlier_mask": msks[bi] & best_ok,
     }
 
 

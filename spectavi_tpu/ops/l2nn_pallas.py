@@ -48,8 +48,10 @@ _TY = 2048  # query lanes per grid step
 
 # Packed-key overflow budget.  The kernel packs ``key = 256*d2 + row8``
 # into int32 with ``d2 = xx - 2*xy`` (query norm added back outside).
-# Per int8 dimension ``xx - 2*xy <= 127^2 + 2*128*127 = 48641 <
-# _D2_PER_DIM``.  Zero-padded dimensions (D is padded up to a multiple
+# Per int8 dimension the worst case is ``x = -128, y = 127``:
+# ``xx - 2*xy = 128^2 + 2*128*127 = 48896 < _D2_PER_DIM = 49152`` (the
+# budget constant actually used below — derive from 48896, not from
+# the milder 127^2 + 2*128*127 = 48641 case).  Zero-padded dimensions (D is padded up to a multiple
 # of 128 for the MXU) contribute exactly 0 to both ``xx`` and ``xy``,
 # so the budget is set by the REAL descriptor width D, not the padded
 # Dp.  The key stays exact while ``256 * _D2_PER_DIM * D + 255 < 2^31``

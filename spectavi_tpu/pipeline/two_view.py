@@ -179,7 +179,11 @@ def step4_triangulate(step3_out, image_paths=None, outdir=None, quiet=False, ba=
                 imread(image_paths[0], dtype="uint8"),
                 imread(image_paths[1], dtype="uint8"),
             )
-        if im0.dtype == np.uint8:
+        if np.issubdtype(im0.dtype, np.integer):
+            # any integer decode (u8 jpg, 16-bit png, ...): max-norm the
+            # sampled values; only float decodes are already normalized
+            # (round-4 advisor: the old uint8-only test let a uint16
+            # decode fall through and wrap in the final uint8 cast)
             im0v = im0[xy0[:, 1], xy0[:, 0]] / np.float64(max(int(im0.max()), 1))
             im1v = im1[xy1[:, 1], xy1[:, 0]] / np.float64(max(int(im1.max()), 1))
         else:

@@ -83,22 +83,6 @@ def _score_pose(R, t, X, uv, thresh):
     return ok.sum(), ok
 
 
-@partial(jax.jit, static_argnames=("trials", "sample_size"))
-def _pnp_hypotheses(X, uv, key, trials, sample_size, thresh):
-    N = X.shape[0]
-
-    def one(k):
-        sel = jax.random.choice(k, N, shape=(sample_size,), replace=False)
-        R, t = _pnp_dlt_single(X[sel], uv[sel])
-        count, _ = _score_pose(R, t, X, uv, thresh)
-        return count, R, t
-
-    keys = jax.random.split(key, trials)
-    counts, Rs, ts = jax.vmap(one)(keys)
-    best = jnp.argmax(counts)
-    return counts[best], Rs[best], ts[best]
-
-
 def _rotation_to_rvec_j(R):
     """Device twin of :func:`rotation_to_rvec` (branch-free)."""
     tr = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0, 1.0)
@@ -124,7 +108,20 @@ def _pnp_full(X, uv, valid, key, trials, sample_size, thresh, refine_iters):
     previous 3 dispatches with host round trips between them — and one
     compile per SIZE BUCKET instead of per exact correspondence count
     (the unbucketed path recompiled hypotheses+refine for every newly
-    registered view: 8 compiles in a cold 10-view run)."""
+    registered view: 8 compiles in a cold 10-view run).
+
+    Every hypothesis is Gauss-Newton-polished on ITS OWN sample points
+    before scoring (a locally-optimized minimal solver).  The raw
+    6-point DLT is a *projective* fit — 11 DOF for a 6-DOF calibrated
+    pose — so even on all-inlier samples the 5 unconstrained DOF
+    absorb the keypoint noise and the nearest-rotation projection
+    returns a pose whose reprojection error is ~50x the noise floor
+    (measured: best raw count 3/120 on 2e-4-noise data at thresh 1e-3,
+    backend-dependent).  Six GN iterations on the sample enforce the
+    calibrated model and drop all-inlier hypotheses to the noise floor
+    (median all-inlier trial: 90/90 inliers), independent of the SVD
+    backend's rounding — this is what makes the fused path's result
+    stable across CPU/TPU and f32/f64 configs."""
     N = X.shape[0]
 
     def score(R, t):
@@ -141,15 +138,20 @@ def _pnp_full(X, uv, valid, key, trials, sample_size, thresh, refine_iters):
 
     def one(k):
         sel = jax.random.choice(k, N, shape=(sample_size,), replace=False, p=p)
-        R, t = _pnp_dlt_single(X[sel], uv[sel])
-        count, _ = score(R, t)
-        return count, R, t
+        Xs, uvs = X[sel], uv[sel]
+        R, t = _pnp_dlt_single(Xs, uvs)
+        rv, tv = _pnp_refine(
+            _rotation_to_rvec_j(R), t, Xs, uvs,
+            jnp.ones(sample_size, X.dtype), iters=6,
+        )
+        count, _ = score(rodrigues(rv), tv)
+        return count, rv, tv
 
     keys = jax.random.split(key, trials)
-    counts, Rs, ts = jax.vmap(one)(keys)
+    counts, rvs, tvs = jax.vmap(one)(keys)
     best = jnp.argmax(counts)
-    rvec = _rotation_to_rvec_j(Rs[best])
-    tvec = ts[best]
+    rvec = rvs[best]
+    tvec = tvs[best]
     _, mask = score(rodrigues(rvec), tvec)
     rvec, tvec = _pnp_refine(
         rvec, tvec, X, uv, mask.astype(X.dtype), iters=refine_iters

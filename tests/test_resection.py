@@ -44,6 +44,53 @@ def test_pnp_ransac_recovers_pose_with_outliers(rng):
     assert np.linalg.norm(res["tvec"] - tv) < 1e-2
 
 
+def test_pnp_ransac_contract_holds_in_float32():
+    """Round-4 regression lesson: the fused `_pnp_full` program
+    returned 90 inliers under one backend config and 46 under another,
+    because the raw 6-point DLT's noise amplification is
+    backend/dtype-sensitive.  The per-hypothesis sample polish makes
+    the result config-stable; pin the SAME contract as the x64 test in
+    an f32 subprocess so backend-sensitive numerics can't land
+    silently again."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import numpy as np, jax.numpy as jnp
+        from spectavi_tpu.sfm import rodrigues, pnp_ransac
+        assert not jax.config.jax_enable_x64
+        rng = np.random.default_rng(0xDEADBEEF)
+        rv = rng.normal(0, 0.3, 3)
+        tv = np.array([0.4, -0.2, 0.5])
+        R = np.asarray(rodrigues(jnp.asarray(rv)))
+        X = rng.standard_normal((120, 3)) * [1, 1, 0.5] + [0, 0, 6.0]
+        Xc = X @ R.T + tv
+        uv = Xc[:, :2] / Xc[:, 2:] + rng.normal(0, 2e-4, (120, 2))
+        uv[:30] += rng.uniform(0.05, 0.2, (30, 2)) * rng.choice(
+            [-1, 1], (30, 2))
+        res = pnp_ransac(X, uv, key=jax.random.PRNGKey(1))
+        assert res["success"]
+        assert res["n_inliers"] >= 85, res["n_inliers"]
+        assert res["inlier_mask"][:30].sum() == 0
+        assert np.linalg.norm(res["rvec"] - rv) < 1e-2
+        assert np.linalg.norm(res["tvec"] - tv) < 1e-2
+        print("F32_CONTRACT_OK", res["n_inliers"])
+        """
+    )
+    env = dict(os.environ, JAX_ENABLE_X64="0", JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "F32_CONTRACT_OK" in out.stdout
+
+
 def test_pnp_ransac_rejects_tiny_input():
     import pytest
 
