@@ -93,7 +93,7 @@ def _sharded_topk2(mesh, x, y, kernel):
     return fn(x, y)
 
 
-def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, min_ratio=1.75, masked=False):
+def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, min_ratio=1.75, masked=False, compact_to=2048):
     """Build the jitted multi-chip two-view "training step".
 
     Input: a batch of image pairs, sharded ``pairs`` x ``blocks``:
@@ -125,29 +125,47 @@ def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, 
     a query whose true neighbour IS that row then sees d2 == d1 and is
     conservatively dropped by the ratio test, never silently matched to
     garbage.
+
+    ``compact_to``: before RANSAC, the ratio survivors are compacted
+    on device into a static ``min(compact_to, Y)``-row bucket (top-k
+    by ratio margin), so hypothesis scoring costs O(trials x
+    survivors) instead of O(trials x Y) — the loop path's
+    compact-then-fit shape, inside the fused program (round-4 verdict
+    item 4: padding every pair to the batch-max keypoint count made
+    the batched backend 2.5x slower warm than the loop).  In the rare
+    case a pair has more than ``compact_to`` survivors only the
+    strongest ratio margins compete in RANSAC (the returned
+    ``ratio_ok`` still reports every survivor).
     """
     kernel = _l2_kernel_for(mesh)
 
     def per_pair(desc0, desc1, pts0, pts1, key, nx=None, ny=None):
+        Y = desc1.shape[0]
         idx, dist = kernel(desc0, desc1)
         idx, dist = _merge_block_topk(idx, dist, BLOCKS, desc0.shape[0])
         # inverted-Lowe ratio test on squared L2 distances
         d1 = jnp.maximum(dist[:, 0].astype(pts0.dtype), 1e-12)
-        ratio_ok = dist[:, 1].astype(pts0.dtype) >= (min_ratio**2) * d1
+        d2 = dist[:, 1].astype(pts0.dtype)
+        ratio_ok = d2 >= (min_ratio**2) * d1
         if nx is not None:
-            qi = jnp.arange(desc1.shape[0])
+            qi = jnp.arange(Y)
             ratio_ok = ratio_ok & (idx[:, 0] < nx) & (qi < ny)
-        x0 = pts0[idx[:, 0]]
-        x1 = pts1
+        C = min(compact_to, Y)
+        margin = jnp.where(ratio_ok, d2 / d1, -1.0)
+        _, topq = jax.lax.top_k(margin, C)  # survivor compaction
+        cmask = ratio_ok[topq]
+        x0 = pts0[idx[topq, 0]]
+        x1 = pts1[topq]
         out = ransac_essential_core(
             key, x0, x1, trials, reproj_allowed, svr_allowed,
-            point_mask=ratio_ok,
+            point_mask=cmask,
         )
+        inlier_full = jnp.zeros(Y, bool).at[topq].set(out["inlier_mask"])
         return (
             out["essential"],
             out["camera"],
             out["count"],
-            out["inlier_mask"],
+            inlier_full,
             idx[:, 0],
             ratio_ok,
         )

@@ -95,8 +95,52 @@ def _rotation_to_rvec_j(R):
     return jnp.where(theta < 1e-8, jnp.zeros(3, R.dtype), axis * theta)
 
 
-@partial(jax.jit, static_argnames=("trials", "sample_size", "refine_iters"))
-def _pnp_full(X, uv, valid, key, trials, sample_size, thresh, refine_iters):
+def _cg_solve6(G, b, iters=10):
+    """Unrolled conjugate gradient for a 6x6 SPD system — pure vector
+    ops, no LAPACK, no ``while_loop`` (cheap to compile under a
+    512-way ``vmap``; CG on a 6x6 system converges in <= 6 exact
+    steps, 10 covers f32 rounding)."""
+    x = jnp.zeros_like(b)
+    r = b
+    p = b
+    rs = jnp.dot(r, r)
+    for _ in range(iters):
+        Ap = G @ p
+        alpha = rs / jnp.maximum(jnp.dot(p, Ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.dot(r, r)
+        p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
+        rs = rs_new
+    return x
+
+
+def _gn_polish_sample(rvec, tvec, Xs, uvs, iters=6, lam=1e-9):
+    """Gauss-Newton polish of one pose on its OWN sample points.
+
+    This is what turns the projective 6-point DLT into a calibrated
+    solver (see :func:`_pnp_full`): a handful of GN steps on the
+    sample's reprojection residuals.  Distinct from :func:`_pnp_refine`
+    (the winner's full-set polish): runs under the per-trial ``vmap``,
+    so the inner solve is an unrolled CG instead of a ``while_loop``."""
+
+    def body(_, c):
+        k = jnp.zeros(2, Xs.dtype)
+        r = jax.vmap(lambda Xi, uvi: _residual(c[:3], c[3:], Xi, uvi, k))(
+            Xs, uvs
+        ).reshape(-1)
+        J = jax.vmap(lambda Xi, uvi: _jac_cam(c, Xi, uvi, k))(
+            Xs, uvs
+        ).reshape(-1, 6)
+        H = J.T @ J + lam * jnp.eye(6, dtype=Xs.dtype)
+        g = J.T @ r
+        return c + _cg_solve6(H, -g)
+
+    c = jax.lax.fori_loop(0, iters, body, jnp.concatenate([rvec, tvec]))
+    return c[:3], c[3:]
+
+
+def _pnp_full_impl(X, uv, valid, key, trials, sample_size, thresh, refine_iters):
     """The whole PnP-RANSAC pipeline as ONE device program over a
     bucket-padded correspondence set: hypothesis mega-batch, winner
     selection, axis-angle conversion, masked inlier mask, Gauss-Newton
@@ -140,10 +184,7 @@ def _pnp_full(X, uv, valid, key, trials, sample_size, thresh, refine_iters):
         sel = jax.random.choice(k, N, shape=(sample_size,), replace=False, p=p)
         Xs, uvs = X[sel], uv[sel]
         R, t = _pnp_dlt_single(Xs, uvs)
-        rv, tv = _pnp_refine(
-            _rotation_to_rvec_j(R), t, Xs, uvs,
-            jnp.ones(sample_size, X.dtype), iters=6,
-        )
+        rv, tv = _gn_polish_sample(_rotation_to_rvec_j(R), t, Xs, uvs)
         count, _ = score(rodrigues(rv), tv)
         return count, rv, tv
 
@@ -158,6 +199,25 @@ def _pnp_full(X, uv, valid, key, trials, sample_size, thresh, refine_iters):
     )
     n_fin, mask = score(rodrigues(rvec), tvec)
     return rvec, tvec, n_fin, mask
+
+
+_pnp_full = partial(
+    jax.jit, static_argnames=("trials", "sample_size", "refine_iters")
+)(_pnp_full_impl)
+
+
+@partial(jax.jit, static_argnames=("trials", "sample_size", "refine_iters"))
+def _pnp_full_batch(X, uv, valid, keys, trials, sample_size, thresh,
+                    refine_iters):
+    """Vmapped :func:`_pnp_full_impl` over a batch of resection
+    problems — ALL candidate views of a registration round in one
+    device dispatch (round-4 verdict item 3: the per-view serial
+    ``pnp_ransac`` dispatches were the multi-view graph wall)."""
+    return jax.vmap(
+        lambda Xb, uvb, vb, kb: _pnp_full_impl(
+            Xb, uvb, vb, kb, trials, sample_size, thresh, refine_iters
+        )
+    )(X, uv, valid, keys)
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -217,6 +277,69 @@ def pnp_ransac(X, uv, key=None, trials=512, sample_size=6,
         "inlier_mask": np.asarray(mask)[:N],
         "success": bool(n_fin >= max(6, int(0.3 * N))),
     }
+
+
+def pnp_ransac_batch(problems, key=None, trials=512, sample_size=6,
+                     reproj_thresh=1e-3, refine_iters=10):
+    """Batched :func:`pnp_ransac` over a list of ``(X, uv)`` problems.
+
+    All problems run as ONE device dispatch (``vmap`` over the fused
+    PnP program).  Each problem is padded to a shared power-of-two
+    correspondence bucket and the batch size is padded to a power of
+    two as well, so compile count is bounded by bucket combinations —
+    not by how many registration rounds a scene needs.  Returns a list
+    of per-problem result dicts (same contract as :func:`pnp_ransac`).
+    """
+    if not problems:
+        return []
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    B = len(problems)
+    ns = []
+    for X, uv in problems:
+        n = np.asarray(X).shape[0]
+        if n < 6:
+            raise ValueError(f"pnp_ransac needs >= 6 correspondences, got {n}")
+        ns.append(n)
+    Npad = max(256, 1 << int(np.ceil(np.log2(max(ns)))))
+    Bpad = 1 << int(np.ceil(np.log2(B)))
+    Xb = np.zeros((Bpad, Npad, 3))
+    uvb = np.zeros((Bpad, Npad, 2))
+    validb = np.zeros((Bpad, Npad), bool)
+    for b, (X, uv) in enumerate(problems):
+        X = np.asarray(X, np.float64)
+        uv = np.asarray(uv, np.float64)
+        n = ns[b]
+        Xb[b, :n] = X
+        uvb[b, :n] = uv
+        Xb[b, n:] = X[0]  # benign padding rows (never sampled/scored)
+        uvb[b, n:] = uv[0]
+        validb[b, :n] = True
+    # padded batch slots replicate problem 0 (results discarded)
+    for b in range(B, Bpad):
+        Xb[b], uvb[b], validb[b] = Xb[0], uvb[0], validb[0]
+    keys = jax.random.split(key, Bpad)
+    rvecs, tvecs, n_fins, masks = _pnp_full_batch(
+        jnp.asarray(Xb, wide), jnp.asarray(uvb, wide), jnp.asarray(validb),
+        keys, int(trials), int(sample_size),
+        jnp.asarray(reproj_thresh, wide), int(refine_iters),
+    )
+    rvecs = np.asarray(rvecs)
+    tvecs = np.asarray(tvecs)
+    n_fins = np.asarray(n_fins)
+    masks = np.asarray(masks)
+    out = []
+    for b in range(B):
+        n_fin = int(n_fins[b])
+        out.append({
+            "rvec": rvecs[b],
+            "tvec": tvecs[b],
+            "n_inliers": n_fin,
+            "inlier_mask": masks[b, : ns[b]],
+            "success": bool(n_fin >= max(6, int(0.3 * ns[b]))),
+        })
+    return out
 
 
 @jax.jit
@@ -320,8 +443,14 @@ def incremental_poses(edges, n_views, keypoints, tracks, ref_view=0,
         return np.asarray(Xw), np.asarray(good)
 
     def local_ba():
-        """Consolidate the registered sub-problem (Huber, few iters)."""
-        from spectavi_tpu.sfm.bundle_adjust import bundle_adjust
+        """Consolidate the registered sub-problem (Huber, few iters) as
+        ONE device dispatch (:func:`ba_device_loop`): fixed robust
+        scale, in-device LM accept/reject, zero per-iteration host
+        pulls.  Points and observations are padded to power-of-two
+        buckets so every registration round of a cold run reuses a
+        handful of compiled programs instead of recompiling for each
+        new observation count."""
+        from spectavi_tpu.sfm.bundle_adjust import ba_device_loop
 
         Xw, good = triangulate_registered()
         t_sel = np.nonzero(good)[0]
@@ -338,30 +467,55 @@ def incremental_poses(edges, n_views, keypoints, tracks, ref_view=0,
         ci = np.concatenate(ci).astype(np.int32)
         pi = np.concatenate(pi).astype(np.int32)
         uvo = np.concatenate(uvo)
-        new_cams, _, _ = bundle_adjust(
-            cams, Xw[t_sel], ci, pi, uvo,
-            fixed_cameras=(int(np.nonzero(registered)[0][0]),),
-            max_iters=ba_iters, loss="huber",
-            huber_delta=3 * reproj_thresh,
+        O = len(ci)
+        M = len(t_sel)
+        Opad = max(256, 1 << int(np.ceil(np.log2(O))))
+        Mpad = max(64, 1 << int(np.ceil(np.log2(M))))
+        w = np.zeros(Opad)
+        w[:O] = 1.0
+        ci = np.pad(ci, (0, Opad - O))
+        pi = np.pad(pi, (0, Opad - O))
+        uvo = np.pad(uvo, ((0, Opad - O), (0, 0)))
+        pts = np.zeros((Mpad, 3))
+        pts[:M] = Xw[t_sel]
+        wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        fixed = np.zeros(n_views, bool)
+        fixed[int(np.nonzero(registered)[0][0])] = True
+        # unregistered cameras have zero observations: their U blocks
+        # are pure LM ridge, so their update is exactly 0 — no need to
+        # mask them (verified by the chain tests)
+        new_cams, _, _, _ = ba_device_loop(
+            jnp.asarray(cams, wide), jnp.asarray(pts, wide),
+            jnp.asarray(ci, jnp.int32), jnp.asarray(pi, jnp.int32),
+            jnp.asarray(uvo, wide), jnp.asarray(w, wide),
+            jnp.asarray(3.0 * reproj_thresh, wide),
+            jnp.asarray(1e-3, wide), jnp.asarray(fixed),
+            iters=ba_iters, robust=True,
         )
+        new_cams = np.asarray(new_cams)
         # only registered cameras have observations; copy those back
         for v in np.nonzero(registered)[0]:
             cams[v] = new_cams[v]
 
-    n_since_ba = 0
     while not registered.all():
         Xw, good = triangulate_registered()
 
-        # next view: most valid-track correspondences
-        counts = [
-            ((obs_mask[:, v] & good).sum(), v)
+        # ALL sufficiently-anchored unregistered views register this
+        # round, through ONE batched PnP dispatch (serial per-view
+        # dispatches were the 10-view graph wall: 8 rounds of
+        # dispatch+pull through the tunnel vs 1-2 here); a local BA
+        # after every round keeps the structure consistent before the
+        # next round triangulates deeper into the chain.
+        cand = [
+            (int((obs_mask[:, v] & good).sum()), v)
             for v in range(n_views)
             if not registered[v]
         ]
-        n_corr, v = max(counts)
-        if n_corr < min_corr:
+        ready = [(n, v) for n, v in cand if n >= min_corr]
+        if not ready:
             # disconnected or starved view: fall back to chaining from
             # a registered neighbour edge (keeps the API total)
+            n_corr, v = max(cand)
             fell_back = False
             for (i, j), e in edges.items():
                 if {registered[i], registered[j]} == {True, False}:
@@ -385,18 +539,18 @@ def incremental_poses(edges, n_views, keypoints, tracks, ref_view=0,
                 "no edge to a registered view"
             )
 
-        sel = obs_mask[:, v] & good
+        views = [v for _, v in ready]
+        sels = [obs_mask[:, v] & good for v in views]
         key, sub = jax.random.split(key)
-        res = pnp_ransac(
-            Xw[sel], uv_all[sel, v], key=sub,
-            reproj_thresh=reproj_thresh,
+        results = pnp_ransac_batch(
+            [(Xw[s], uv_all[s, v]) for s, v in zip(sels, views)],
+            key=sub, reproj_thresh=reproj_thresh,
         )
-        cams[v, :3] = res["rvec"]
-        cams[v, 3:] = res["tvec"]
-        registered[v] = True
-        n_since_ba += 1
-        if ba_every and (n_since_ba >= ba_every or registered.all()):
+        for v, res in zip(views, results):
+            cams[v, :3] = res["rvec"]
+            cams[v, 3:] = res["tvec"]
+            registered[v] = True
+        if ba_every:
             local_ba()
-            n_since_ba = 0
 
     return cams, registered
