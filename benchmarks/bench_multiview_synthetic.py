@@ -118,7 +118,7 @@ def main(argv=None):
     ap.add_argument("--outdir", default="/tmp/synth_mv")
     ap.add_argument("--seed", default=3, type=int)
     ap.add_argument(
-        "--pair_backend", default="loop", choices=["loop", "batched"],
+        "--pair_backend", default="auto", choices=["auto", "loop", "batched"],
         help="pairwise match+RANSAC execution: one dispatch per pair "
         "('loop') or all pairs as one jitted program ('batched')",
     )

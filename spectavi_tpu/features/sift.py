@@ -194,21 +194,37 @@ def _gradients(gss):
 
 def _extrema_mask(dog, peak_thresh):
     """26-neighbour extrema of the DoG volume ``(S+2, H, W)`` at scales
-    1..S (i.e. detection levels), interior pixels only."""
-    # accumulate the 26 neighbour comparisons instead of stacking 26
-    # rolled copies (the stack would be ~26x the DoG volume in HBM)
+    1..S (i.e. detection levels), interior pixels only.
+
+    Separable formulation: the strict 26-neighbour maximum is assembled
+    from running 3-window maxima along x then y — the two off-scale
+    planes contribute their full 3x3 max, the centre plane contributes
+    its y+-1 row maxima and x+-1 values (centre excluded).  10 shifted
+    passes for the max and 10 for the min instead of the previous 26
+    roll+compare pairs per side (52 full-volume reads); identical
+    strict-inequality semantics, measured ~3x less detect HBM traffic.
+    Rolled scale/spatial wrap values only land on the boundary
+    scales/pixels that the interior restriction below discards.
+    """
     v = dog
     thr = 0.8 * peak_thresh
-    is_max = v > thr
-    is_min = v < -thr
-    for ds in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if ds == 0 and dy == 0 and dx == 0:
-                    continue
-                n = jnp.roll(jnp.roll(jnp.roll(dog, -ds, 0), -dy, 1), -dx, 2)
-                is_max = is_max & (v > n)
-                is_min = is_min & (v < n)
+
+    def ext3(a, axis, op):
+        return op(a, op(jnp.roll(a, 1, axis), jnp.roll(a, -1, axis)))
+
+    def neigh26(a, op):
+        a_x = ext3(a, 2, op)       # 3-window along x (incl centre)
+        a_xy = ext3(a_x, 1, op)    # 3x3 spatial (incl centre)
+        return op(
+            op(jnp.roll(a_xy, 1, 0), jnp.roll(a_xy, -1, 0)),  # s+-1 planes
+            op(
+                op(jnp.roll(a_x, 1, 1), jnp.roll(a_x, -1, 1)),  # y+-1 rows
+                op(jnp.roll(a, 1, 2), jnp.roll(a, -1, 2)),      # x+-1
+            ),
+        )
+
+    is_max = (v > thr) & (v > neigh26(v, jnp.maximum))
+    is_min = (v < -thr) & (v < neigh26(v, jnp.minimum))
     mask = is_max | is_min
     # restrict to interior scales and pixels
     Sn, H, W = dog.shape
@@ -260,9 +276,18 @@ def detect_refine(dog, peak_thresh, edge_thresh, max_kp, n_iter=5):
         [smax * 2.0 ** -jnp.arange(0, n_lad, dtype=dog.dtype),
          jnp.zeros((1,), dog.dtype)]
     )
-    counts_at = jnp.stack(
-        [(strength > t).sum() for t in taus]
-    )
+    # counts_at[j] = #(strength > taus[j]), via ONE histogram pass: a
+    # candidate's rung is b = floor(log2(smax/strength)) + 1 (the
+    # smallest j with strength > smax * 2^-j), so the cumulative rung
+    # histogram IS the ladder count.  The previous 25 separate
+    # reductions each re-read the full volume (25x the detect pass's
+    # largest HBM cost at octave -1).
+    safe = strength > 0
+    neglog = jnp.log2(smax) - jnp.log2(jnp.where(safe, strength, 1.0))
+    rung = jnp.clip(jnp.floor(neglog).astype(jnp.int32) + 1, 1, n_lad)
+    rung = jnp.where(safe, rung, n_lad + 1)
+    hist = jnp.zeros(n_lad + 2, jnp.int32).at[rung.reshape(-1)].add(1)
+    counts_at = jnp.cumsum(hist)[: n_lad + 1]
     # counts_at is ascending (taus descend to 0); the last rung that
     # fits wins.  tau=0 keeps every candidate (extrema have |DoG| > 0
     # strictly), so under-budget octaves are bit-identical to no

@@ -65,8 +65,13 @@ DEFAULT_OPTIONS = {
     "maximum_tries": 500,
     "find_best_even_in_failure": True,
     "singular_value_ratio_allowed": 3e-2,
-    "progressbar": False,  # accepted for API parity; ignored
+    # stdout progress over the trial budget, like the reference's bar
+    # (src/RansacFitter.h:169-184).  Batched trials finish in a few
+    # blocks, so the bar advances per mega-batch, not per trial.
+    "progressbar": False,
 }
+
+_PROGRESS_BAR_LENGTH = 50  # reference: PROGRESS_BAR_LENGTH (src/RansacFitter.h:19)
 
 
 def _sample_subsets(key, n, trials, point_mask):
@@ -510,9 +515,18 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=8192, confidence=
     depth = 2
     while planned < max_tries and len(pending) < depth:
         _enqueue()
+    progressbar = bool(opts.get("progressbar"))
     while pending:
         out, live = pending.popleft()
         count = int(out[2])
+        if progressbar:
+            frac = min((tries + live) / max_tries, 1.0)
+            n = int(_PROGRESS_BAR_LENGTH * frac)
+            print(
+                "\r[" + "=" * n + " " * (_PROGRESS_BAR_LENGTH - n)
+                + f"] {tries + live}/{max_tries} trials, best {max(count, best_count, 0)}",
+                end="", flush=True,
+            )
         if count > best_count + max(2, int(0.005 * N)):
             stalled = 0  # still materially improving
         else:
@@ -539,6 +553,8 @@ def ransac_fitter(x0, x1, options=None, key=None, batch_trials=8192, confidence=
                 break
         if planned < max_tries and len(pending) < depth:
             _enqueue()
+    if progressbar:
+        print(flush=True)
     if best is None or best_count < 0:
         # every trial failed the SVR/validity gate: no model was ever
         # stored (reference parity — a gate-failing F never reaches the

@@ -93,6 +93,9 @@ def _sharded_topk2(mesh, x, y, kernel):
     return fn(x, y)
 
 
+_STEP_CACHE = {}
+
+
 def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, min_ratio=1.75, masked=False, compact_to=2048):
     """Build the jitted multi-chip two-view "training step".
 
@@ -136,7 +139,19 @@ def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, 
     case a pair has more than ``compact_to`` survivors only the
     strongest ratio margins compete in RANSAC (the returned
     ``ratio_ok`` still reports every survivor).
+
+    The built step is memoized per ``(mesh, params)``: every call used
+    to return a FRESH ``jax.jit`` wrapper, so repeated
+    ``run_sfm(pair_backend="batched")`` calls re-traced the whole
+    fused program each time (measured: 20+ s/run of pure retracing on
+    the warm 10-view scene while the underlying executable sat in the
+    compile cache).
     """
+    cache_key = (mesh, trials, float(reproj_allowed), float(svr_allowed),
+                 float(min_ratio), masked, compact_to)
+    hit = _STEP_CACHE.get(cache_key)
+    if hit is not None:
+        return hit
     kernel = _l2_kernel_for(mesh)
 
     def per_pair(desc0, desc1, pts0, pts1, key, nx=None, ny=None):
@@ -198,4 +213,6 @@ def make_two_view_step(mesh, trials=512, reproj_allowed=1e-3, svr_allowed=3e-2, 
         out_specs=out_specs,
         check_rep=False,
     )
-    return jax.jit(sharded)
+    step = jax.jit(sharded)
+    _STEP_CACHE[cache_key] = step
+    return step

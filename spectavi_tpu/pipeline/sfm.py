@@ -202,16 +202,21 @@ def run_sfm(
     checkpoint=None,
     init="pnp",
     loss="huber",
-    pair_backend="loop",
+    pair_backend="auto",
 ):
     """Run incremental SfM over a list of images.
 
     ``pair_backend`` selects how pairwise matching + RANSAC runs:
     ``"loop"`` dispatches one device program per pair from the host;
     ``"batched"`` pads all pairs to a static shape and runs them as ONE
-    jitted program (:func:`_match_pairs_batched`) — the fast path on a
-    high-dispatch-latency accelerator when views have similar keypoint
-    counts.
+    jitted program (:func:`_match_pairs_batched`).  ``"auto"``
+    (default) picks ``"batched"`` on accelerator backends with 3+
+    pairs and ``"loop"`` otherwise: with on-device survivor compaction
+    and the memoized step program, the batched path wins warm on chip
+    (10-view scene: 0.8-0.9 s vs the loop's 1.9 s, 2.4x — round-5
+    measurement) because it pays one dispatch+pull instead of one per
+    pair; on CPU (tests, small jobs) the loop path's smaller programs
+    compile faster.
 
     ``init`` selects the pose initializer: ``"pnp"`` (default)
     registers each view by RANSAC-PnP against triangulated tracks with
@@ -265,6 +270,12 @@ def run_sfm(
     if ransac_options:
         ropts.update(ransac_options)
 
+    if pair_backend == "auto":
+        pair_backend = (
+            "batched"
+            if jax.default_backend() != "cpu" and len(pair_list) >= 3
+            else "loop"
+        )
     edges = {}
     pair_matches = {}
     metrics["pairs"] = []
