@@ -35,3 +35,25 @@ def normalize_to_ubyte_and_multiple_16_dim(x, dtype="float32"):
     out = np.zeros((rows, -(-dim // 16) * 16), dtype=dtype)
     out[:, :dim] = quant
     return out
+
+
+def normalize_to_ubyte_device(x):
+    """Device twin of :func:`normalize_to_ubyte_and_multiple_16_dim`
+    with the matcher's ``+128`` offset fused in: jnp ``(n, d)`` float
+    in, ``(n, 16-padded d)`` DEVICE uint8 out (padding columns hold
+    128, the byte value a zero-padded column takes after the offset).
+    Lets a device-resident pipeline quantize + match without a host
+    round trip."""
+    import jax.numpy as jnp
+
+    xf = jnp.asarray(x, jnp.float32)
+    centered = xf - xf.mean(0)
+    span = jnp.maximum(
+        jnp.maximum(centered.max(0), -centered.min(0)),
+        jnp.finfo(jnp.float32).tiny,
+    )
+    quant = jnp.clip(jnp.round(centered * (128.0 / span)), -128, 127)
+    dim = quant.shape[1]
+    pad = (-dim) % 16
+    out = jnp.pad(quant + 128.0, ((0, 0), (0, pad)), constant_values=128.0)
+    return out.astype(jnp.uint8)

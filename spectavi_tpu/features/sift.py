@@ -708,17 +708,22 @@ def _stack_grads(mods, angs):
     return modS, angS
 
 
-def _describe_jobs(jobs, grads, magnif, canvas=None):
-    """Descriptors for every compacted (image, octave) job, returned
-    as one numpy array in job order (``bucket2`` rows per job).
+def _describe_jobs_dev(jobs, grads, magnif, canvas=None):
+    """Descriptors for every compacted (image, octave) job, LEFT ON
+    DEVICE grouped per image.
+
+    Returns ``(per_img, img_jobs_map)``: ``per_img[bi]`` is a device
+    uint8 array of the image's job rows concatenated in job order
+    (``bucket2`` rows per job, vlfeat x512 quantization applied on
+    device), ``img_jobs_map[bi]`` the matching job list.
 
     TPU path: all octaves' gradients are stacked into one canonical
     array (:func:`_stack_grads`) and each IMAGE is one call into the
-    Pallas patch-DMA descriptor kernel — one kernel compile total, one
-    result pull.  (The XLA gather formulation runs at ~50M gathered
-    pixels/s on this TPU and dominated SIFT wall-clock; per-octave
-    kernel shapes would recompile 9x.)  CPU backends keep the XLA
-    gather path; both produce identical descriptors.
+    Pallas patch-DMA descriptor kernel — one kernel compile total.
+    (The XLA gather formulation runs at ~50M gathered pixels/s on this
+    TPU and dominated SIFT wall-clock; per-octave kernel shapes would
+    recompile 9x.)  CPU backends keep the XLA gather path; both
+    produce identical descriptors.
     """
     from spectavi_tpu.ops.l2nn import _on_tpu
 
@@ -726,21 +731,29 @@ def _describe_jobs(jobs, grads, magnif, canvas=None):
     # the padded canvas must hold one aligned patch: rows >= 104 and
     # cols > 128 (so the 128-aligned canvas reaches 256)
     use_pallas = _on_tpu(grads[0][0]) and H0 >= 104 and W0 > 128
+    per_img = {}
+    img_jobs_map = {}
     if not use_pallas:
-        descs_dev = []
-        for (bi, oi, meta_sel, n_ang, bucket2) in jobs:
-            mod, ang = grads[oi]
-            descs_dev.append(
-                _describe_stage(
+        for bi in range(B):
+            img_jobs = [j for j in jobs if j[0] == bi]
+            if not img_jobs:
+                continue
+            ds = []
+            for (_, oi, meta_sel, n_ang, bucket2) in img_jobs:
+                mod, ang = grads[oi]
+                d = _describe_stage(
                     mod[bi],
                     ang[bi],
                     jnp.asarray(meta_sel),
                     jnp.asarray(np.arange(bucket2) < n_ang),
                     magnif,
                 )
-            )
-        d = np.asarray(jnp.concatenate(descs_dev, axis=0))
-        return np.minimum(np.floor(512.0 * d), 255.0).astype(np.float32)
+                ds.append(
+                    jnp.minimum(jnp.floor(512.0 * d), 255.0).astype(jnp.uint8)
+                )
+            per_img[bi] = ds[0] if len(ds) == 1 else jnp.concatenate(ds, axis=0)
+            img_jobs_map[bi] = img_jobs
+        return per_img, img_jobs_map
 
     from spectavi_tpu.ops.sift_desc import (
         PATCH_C,
@@ -755,8 +768,6 @@ def _describe_jobs(jobs, grads, magnif, canvas=None):
         )
     modS, angS = canvas
     H0p, W0p = modS.shape[2], modS.shape[3]
-    descs_dev = []
-    order = []
     for bi in range(B):
         img_jobs = [j for j in jobs if j[0] == bi]
         if not img_jobs:
@@ -806,18 +817,25 @@ def _describe_jobs(jobs, grads, magnif, canvas=None):
         )
         d = finish_descriptors(raw, jnp.asarray(val))
         # vlfeat's output quantization (reference src/Sift.h:119-121)
-        # applied ON DEVICE so the result pull is uint8 — 4x fewer
+        # applied ON DEVICE so any result pull is uint8 — 4x fewer
         # bytes through this machine's ~7 MB/s device tunnel, and the
         # reference's own output values are exactly these integers
-        descs_dev.append(
-            jnp.minimum(jnp.floor(512.0 * d), 255.0).astype(jnp.uint8)
+        per_img[bi] = jnp.minimum(jnp.floor(512.0 * d), 255.0).astype(
+            jnp.uint8
         )
-        order.append(bi)
+        img_jobs_map[bi] = img_jobs
+    return per_img, img_jobs_map
+
+
+def _describe_jobs(jobs, grads, magnif, canvas=None):
+    """Host variant of :func:`_describe_jobs_dev`: one pull, rows
+    reordered from per-image concatenation back to job order."""
+    per_img, _ = _describe_jobs_dev(jobs, grads, magnif, canvas)
+    order = sorted(per_img)
     desc_np = (
-        np.asarray(jnp.concatenate(descs_dev, axis=0))  # one pull
+        np.asarray(jnp.concatenate([per_img[bi] for bi in order], axis=0))
         .astype(np.float32)
     )
-    # reorder from per-image concatenation back to job order
     out = np.empty((sum(j[4] for j in jobs), 128), np.float32)
     img_off = {}
     pos = 0
@@ -937,21 +955,59 @@ def _orient_jobs(det_jobs, grads):
     return angles, canvas
 
 
+@partial(jax.jit, static_argnames=("cap", "n_oct"))
+def _compact_detections(det_cat, oct_ids, cap, n_oct):
+    """Cross-octave compaction of valid detections ON DEVICE.
+
+    ``det_cat (B, 6, T)`` is every octave's detection table
+    concatenated; only ~20-30% of its rows are valid, and the full
+    table is megabytes through this machine's ~5 MB/s device tunnel —
+    the detect phase's dominant warm cost was this pull (castle pair:
+    4.75 MB, 1.6-1.7 s, vs 0.01 s of dispatch).  Compact to the valid
+    rows (octave-major, original order — identical downstream job
+    content) and pull ``(B, 4, cap)`` = [x, y, sigma, is] plus tiny
+    per-octave valid/raw-candidate counts instead.
+    """
+
+    def one(db):
+        valid = db[4] > 0
+        pos = jnp.cumsum(valid.astype(jnp.int32)) - 1
+        tgt = jnp.where(valid & (pos < cap), pos, cap)
+        rows = db[:4]  # x, y, sigma, is
+        out = jnp.zeros((4, cap), db.dtype).at[:, tgt].set(
+            rows, mode="drop"
+        )
+        counts = jax.ops.segment_sum(
+            valid.astype(jnp.int32), oct_ids, num_segments=n_oct
+        )
+        return out, counts
+
+    return jax.vmap(one)(det_cat)
+
+
 def _sift_batched_same_shape(
-    ims, peak_thresh, edge_thresh, magnif, o_min, n_octaves, max_kp_per_octave
+    ims, peak_thresh, edge_thresh, magnif, o_min, n_octaves,
+    max_kp_per_octave, return_device=False,
 ):
     """SIFT for a batch of same-shape images with three host pulls
     total (detections, orientation angles, descriptors); every
     per-pixel stage runs per-octave batched on device, and on TPU the
     orientation/descriptor window work runs in patch-DMA Pallas
-    kernels over compacted keypoints only."""
+    kernels over compacted keypoints only.
+
+    ``return_device=True`` skips the descriptor pull entirely: each
+    image yields ``{"meta": (n, 4) numpy [x, y, sigma, angle],
+    "desc": (n, 128) DEVICE uint8}`` so a downstream on-device matcher
+    never pays the ~128 B/keypoint descriptor transfer (castle pair:
+    7.1 MB, ~1 s of the SIFT wall through this tunnel) only to upload
+    it again."""
     B = len(ims)
     H0, W0 = ims[0].shape
     if n_octaves is None:
         n_octaves = num_octaves(H0, W0, o_min)
     budgets = _octave_budgets(H0, W0, o_min, n_octaves, max_kp_per_octave)
 
-    # pass 1: async per-octave dispatches, one concatenated pull
+    # pass 1: async per-octave dispatches, one compacted pull
     first = _base_first(jnp.asarray(np.stack(ims)), o_min)
     det_metas, grads = [], []
     for budget in budgets:
@@ -960,16 +1016,29 @@ def _sift_batched_same_shape(
         )
         det_metas.append(det)
         grads.append((mod, ang))
-    det_all = np.asarray(jnp.concatenate(det_metas, axis=2))  # (B, 6, total)
+    T = sum(budgets)
+    CAP = min(T, 32768)
+    oct_ids = jnp.asarray(
+        np.repeat(np.arange(len(budgets), dtype=np.int32), budgets)
+    )
+    det_cat = jnp.concatenate(det_metas, axis=2)  # (B, 6, T)
+    raws_dev = jnp.stack([d[:, 5, 0] for d in det_metas], axis=1)  # (B, n_oct)
+    comp_dev, counts_dev = _compact_detections(
+        det_cat, oct_ids, CAP, len(budgets)
+    )
+    comp, counts, raws = jax.device_get((comp_dev, counts_dev, raws_dev))
+    if counts.sum(axis=1).max() > CAP:
+        # pathological keypoint density: the compaction cap would drop
+        # detections — fall back to pulling the full table
+        comp = None
+        det_all = np.asarray(det_cat)
 
-    # host: compact valid detections per (image, octave)
-    det_jobs = []  # (bi, oi, det_sel (6, bucket), n_kp, bucket)
+    # host: split the compacted rows into per-(image, octave) jobs
+    det_jobs = []  # (bi, oi, det_sel (4, bucket), n_kp, bucket)
     for bi in range(B):
         off = 0
         for oi, budget in enumerate(budgets):
-            det = det_all[bi, :, off : off + budget]
-            off += budget
-            n_candidates = int(det[5, 0])
+            n_candidates = int(raws[bi, oi])
             if n_candidates > budget:
                 import warnings
 
@@ -980,18 +1049,42 @@ def _sift_batched_same_shape(
                     "to keep more.",
                     stacklevel=3,
                 )
-            sel = np.where(det[4] > 0)[0]
-            n_kp = len(sel)
-            if n_kp == 0:
-                continue
-            bucket = _bucket_pad(n_kp)
-            sel_pad = np.concatenate(
-                [sel, np.zeros(bucket - n_kp, dtype=sel.dtype)]
-            )
-            det_jobs.append((bi, oi, det[:, sel_pad], n_kp, bucket))
+            if comp is not None:
+                n_kp = int(counts[bi, oi])
+                seg = comp[bi, :, off : off + n_kp]
+                off += n_kp
+                if n_kp == 0:
+                    continue
+                bucket = _bucket_pad(n_kp)
+                det_sel = np.concatenate(
+                    [seg, np.repeat(seg[:, :1], bucket - n_kp, axis=1)],
+                    axis=1,
+                )
+            else:
+                det = det_all[bi, :, off : off + budget]
+                off += budget
+                sel = np.where(det[4] > 0)[0]
+                n_kp = len(sel)
+                if n_kp == 0:
+                    continue
+                bucket = _bucket_pad(n_kp)
+                sel_pad = np.concatenate(
+                    [sel, np.zeros(bucket - n_kp, dtype=sel.dtype)]
+                )
+                det_sel = det[:4, sel_pad]
+            det_jobs.append((bi, oi, det_sel, n_kp, bucket))
+
+    def empty_out():
+        if return_device:
+            return [
+                {"meta": np.zeros((0, 4), np.float32),
+                 "desc": jnp.zeros((0, 128), jnp.uint8)}
+                for _ in range(B)
+            ]
+        return [np.zeros((0, 132), np.float32) for _ in range(B)]
 
     if not det_jobs:
-        return [np.zeros((0, 132), np.float32) for _ in range(B)]
+        return empty_out()
 
     angles, canvas = _orient_jobs(det_jobs, grads)
 
@@ -1021,7 +1114,42 @@ def _sift_batched_same_shape(
         jobs.append((bi, oi, meta6[:, sel2_pad], n_ang, bucket2))
 
     if not jobs:
-        return [np.zeros((0, 132), np.float32) for _ in range(B)]
+        return empty_out()
+
+    if return_device:
+        per_img, img_jobs_map = _describe_jobs_dev(
+            jobs, grads, float(magnif), canvas
+        )
+        outs_dev = []
+        for bi in range(B):
+            img_jobs = img_jobs_map.get(bi)
+            if not img_jobs:
+                outs_dev.append(
+                    {"meta": np.zeros((0, 4), np.float32),
+                     "desc": jnp.zeros((0, 128), jnp.uint8)}
+                )
+                continue
+            sel, metas, off = [], [], 0
+            for (_, oi, meta_sel, n_ang, bucket2) in img_jobs:
+                sel.append(np.arange(off, off + n_ang))
+                off += bucket2
+                xper = 2.0 ** (o_min + oi)
+                metas.append(
+                    np.stack(
+                        [meta_sel[2] * xper, meta_sel[3] * xper,
+                         meta_sel[4] * xper, meta_sel[0]],
+                        axis=1,
+                    )[:n_ang]
+                )
+            desc = jnp.take(
+                per_img[bi], jnp.asarray(np.concatenate(sel)), axis=0
+            )
+            outs_dev.append(
+                {"meta": np.concatenate(metas).astype(np.float32),
+                 "desc": desc}
+            )
+        return outs_dev
+
     desc_all = _describe_jobs(jobs, grads, float(magnif), canvas)
 
     outs = [[] for _ in range(B)]
@@ -1108,6 +1236,51 @@ def sift_filter_batch(
             o_min,
             n_octaves,
             max_kp_per_octave,
+        )
+        for i, r in zip(idxs, res):
+            out[i] = r
+    return out
+
+
+def sift_filter_batch_device(
+    ims,
+    peak_thresh=0.0,
+    edge_thresh=10.0,
+    magnif=3.0,
+    o_min=-1,
+    n_octaves=None,
+    max_kp_per_octave=32768,
+):
+    """Batch SIFT with DEVICE-RESIDENT descriptors.
+
+    Same detection/description as :func:`sift_filter_batch`, but each
+    image's result is ``{"meta": (n, 4) numpy float32 [x, y, sigma,
+    angle], "desc": (n, 128) device uint8 (vlfeat x512-quantized)}``.
+    For pipelines that match on device right after detection, this
+    skips pulling 128 bytes/keypoint through the host link AND the
+    re-upload before matching — the two largest transfers of the
+    two-view front end on a tunneled accelerator.  Reassemble the
+    host-API 132-col rows with ``np.concatenate([meta,
+    np.asarray(desc, np.float32)], axis=1)`` when needed.
+    """
+    ims = [np.asarray(im, dtype=np.float32) for im in ims]
+    for im in ims:
+        if im.ndim != 2:
+            raise TypeError("Only 2d images are supported.")
+    groups = {}
+    for i, im in enumerate(ims):
+        groups.setdefault(im.shape, []).append(i)
+    out = [None] * len(ims)
+    for shape, idxs in groups.items():
+        res = _sift_batched_same_shape(
+            [ims[i] for i in idxs],
+            peak_thresh,
+            edge_thresh,
+            magnif,
+            o_min,
+            n_octaves,
+            max_kp_per_octave,
+            return_device=True,
         )
         for i, r in zip(idxs, res):
             out[i] = r

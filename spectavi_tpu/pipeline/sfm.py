@@ -85,7 +85,7 @@ def _match_pair_loop(kps, pts_cal, i, j, key, ropts, min_ratio, quiet):
     return rec, edge
 
 
-def _match_pairs_batched(kps, pts_cal, pair_list, key, ropts, min_ratio,
+def _match_pairs_batched(descs, pts_cal, pair_list, key, ropts, min_ratio,
                          trials=8192, pad_to=256):
     """Run ALL pairs' matching + RANSAC in one device dispatch.
 
@@ -99,18 +99,21 @@ def _match_pairs_batched(kps, pts_cal, pair_list, key, ropts, min_ratio,
     per-call dispatch/pull overhead that dominates the host-side loop
     on a high-latency link.
 
+    ``descs``: per-view quantized uint8 descriptor tables — numpy
+    (host path) or DEVICE arrays (device-resident SIFT: the padded
+    batch is then assembled on device and the multi-megabyte
+    descriptor upload disappears).
+
     Returns the same per-pair result dicts the loop path produces.
     """
-    from spectavi_tpu.features import normalize_to_ubyte_and_multiple_16_dim
     from spectavi_tpu.parallel.mesh import make_mesh
     from spectavi_tpu.parallel.two_view import make_two_view_step
 
     B = len(pair_list)
-    descs, coords = [], []
-    for kp, pc in zip(kps, pts_cal):
-        d = normalize_to_ubyte_and_multiple_16_dim(kp[:, 4:])
-        descs.append((d + 128).astype(np.uint8))
-        coords.append(pc.astype(np.float32))
+    on_device = isinstance(descs[0], jnp.ndarray) and not isinstance(
+        descs[0], np.ndarray
+    )
+    coords = [pc.astype(np.float32) for pc in pts_cal]
 
     # a view with zero keypoints cannot seed the replicate-row padding
     # (descs[i][0] would raise); such pairs are unreconstructable — skip
@@ -137,19 +140,35 @@ def _match_pairs_batched(kps, pts_cal, pair_list, key, ropts, min_ratio,
     X = max(ceil_to(max(descs[i].shape[0] for i, _ in pair_list), pad_to), pad_to)
     Y = max(ceil_to(max(descs[j].shape[0] for _, j in pair_list), pad_to), pad_to)
     D = descs[0].shape[1]
-    d0 = np.zeros((B, X, D), np.uint8)
-    d1 = np.zeros((B, Y, D), np.uint8)
     p0 = np.zeros((B, X, 2), np.float32)
     p1 = np.zeros((B, Y, 2), np.float32)
     nx = np.zeros(B, np.int32)
     ny = np.zeros(B, np.int32)
     for b, (i, j) in enumerate(pair_list):
         nx[b], ny[b] = descs[i].shape[0], descs[j].shape[0]
-        d0[b, : nx[b]] = descs[i]
-        d0[b, nx[b]:] = descs[i][0]  # replicate, never zero-pad (see doc)
-        d1[b, : ny[b]] = descs[j]
         p0[b, : nx[b]] = coords[i]
         p1[b, : ny[b]] = coords[j]
+
+    def pad_rows(d, rows, replicate):
+        n = d.shape[0]
+        if on_device:
+            fill = (
+                jnp.broadcast_to(d[0], (rows - n, D))
+                if replicate
+                else jnp.zeros((rows - n, D), d.dtype)
+            )
+            return jnp.concatenate([d, fill], axis=0)
+        out = np.zeros((rows, D), np.uint8)
+        out[:n] = d
+        if replicate:
+            out[n:] = d[0]
+        return out
+
+    stack = jnp.stack if on_device else np.stack
+    # database rows replicate, never zero-pad (see doc); query padding
+    # rows are masked by ny
+    d0 = stack([pad_rows(descs[i], X, True) for i, _ in pair_list])
+    d1 = stack([pad_rows(descs[j], Y, False) for _, j in pair_list])
 
     mesh = make_mesh(n_pairs=1, n_blocks=1, devices=jax.devices()[:1])
     step = make_two_view_step(
@@ -238,27 +257,75 @@ def run_sfm(
     metrics = {"n_views": V, "pairs_mode": str(pairs), "init": init,
                "loss": loss}
 
-    with Timer("sfm-sift", quiet) as t_sift:
-        ims = [imread(p, dtype="float32", force_grayscale=True) for p in image_paths]
-        kps = sift_filter_batch(ims)
-    metrics["sift_seconds"] = t_sift.elapsed
-    metrics["keypoints_per_view"] = [int(kp.shape[0]) for kp in kps]
-    if not quiet:
-        for i, kp in enumerate(kps):
-            print(f"  view {i}: {kp.shape[0]} keypoints")
-
-    # calibrated euclidean keypoint coordinates per view
-    pts_cal = []
-    for kp in kps:
-        h = np.hstack([kp[:, :2], np.ones((kp.shape[0], 1))]) @ iK.T
-        pts_cal.append(h[:, :2] / h[:, 2:3])
-
     if pairs == "sequential":
         pair_list = [(i, i + 1) for i in range(V - 1)]
     elif pairs == "exhaustive":
         pair_list = [(i, j) for i in range(V) for j in range(i + 1, V)]
     else:
         pair_list = list(pairs)
+
+    if pair_backend == "auto":
+        pair_backend = (
+            "batched"
+            if jax.default_backend() != "cpu" and len(pair_list) >= 3
+            else "loop"
+        )
+
+    # the batched backend matches on device, so SIFT can leave the
+    # descriptors there (no 128 B/keypoint pull + re-upload through
+    # the link); the loop backend needs host rows
+    device_sift = (
+        pair_backend == "batched" and jax.default_backend() != "cpu"
+    )
+    with Timer("sfm-sift", quiet) as t_sift:
+        ims = [imread(p, dtype="float32", force_grayscale=True) for p in image_paths]
+        if device_sift:
+            from spectavi_tpu.features.normalize import (
+                normalize_to_ubyte_device,
+            )
+            from spectavi_tpu.features.sift import sift_filter_batch_device
+
+            outs = sift_filter_batch_device(ims)
+            kps_meta = [o["meta"] for o in outs]
+            # descriptor-only quantization: run_sfm's matchers (loop
+            # and batched alike) match kp[:, 4:], unlike ex01's
+            # full-row convention
+            descs_u8 = [
+                normalize_to_ubyte_device(o["desc"].astype(jnp.float32))
+                if o["meta"].shape[0]
+                else jnp.zeros((0, 128), jnp.uint8)
+                for o in outs
+            ]
+            kps = None  # host 132-col rows materialized on demand
+        else:
+            kps = sift_filter_batch(ims)
+            kps_meta = [kp[:, :4] for kp in kps]
+            descs_u8 = None
+    metrics["sift_seconds"] = t_sift.elapsed
+    metrics["keypoints_per_view"] = [int(m.shape[0]) for m in kps_meta]
+    if not quiet:
+        for i, m in enumerate(kps_meta):
+            print(f"  view {i}: {m.shape[0]} keypoints")
+
+    def host_rows():
+        """Full 132-col host keypoint rows (lazy: only the batched
+        backend's rare per-pair retry needs them under device SIFT)."""
+        nonlocal kps
+        if kps is None:
+            kps = [
+                np.concatenate(
+                    [o["meta"], np.asarray(o["desc"]).astype(np.float32)],
+                    axis=1,
+                )
+                for o in outs
+            ]
+        return kps
+
+    # calibrated euclidean keypoint coordinates per view
+    pts_cal = []
+    for m in kps_meta:
+        h = np.hstack([m[:, :2], np.ones((m.shape[0], 1))]) @ iK.T
+        pts_cal.append(h[:, :2] / h[:, 2:3])
 
     ropts = {
         "required_percent_inliers": 0.5,
@@ -270,21 +337,27 @@ def run_sfm(
     if ransac_options:
         ropts.update(ransac_options)
 
-    if pair_backend == "auto":
-        pair_backend = (
-            "batched"
-            if jax.default_backend() != "cpu" and len(pair_list) >= 3
-            else "loop"
-        )
     edges = {}
     pair_matches = {}
     metrics["pairs"] = []
     metrics["pair_backend"] = pair_backend
     with Timer("sfm-pairs", quiet) as t_pairs:
         if pair_backend == "batched":
+            if descs_u8 is None:
+                from spectavi_tpu.features import (
+                    normalize_to_ubyte_and_multiple_16_dim,
+                )
+
+                descs_u8 = [
+                    (
+                        normalize_to_ubyte_and_multiple_16_dim(kp[:, 4:])
+                        + 128
+                    ).astype(np.uint8)
+                    for kp in host_rows()
+                ]
             key, sub = jax.random.split(key)
             batch = _match_pairs_batched(
-                kps, pts_cal, pair_list, sub, ropts, min_ratio
+                descs_u8, pts_cal, pair_list, sub, ropts, min_ratio
             )
             for res in batch:
                 i, j = res["pair"]
@@ -301,7 +374,8 @@ def run_sfm(
                     # pair through the confidence-looped host path
                     key, sub = jax.random.split(key)
                     rec, edge = _match_pair_loop(
-                        kps, pts_cal, i, j, sub, ropts, min_ratio, quiet
+                        host_rows(), pts_cal, i, j, sub, ropts, min_ratio,
+                        quiet,
                     )
                     rec["batched_retry"] = True
                     metrics["pairs"].append(rec)
@@ -342,7 +416,7 @@ def run_sfm(
             for (i, j) in pair_list:
                 key, sub = jax.random.split(key)
                 rec, edge = _match_pair_loop(
-                    kps, pts_cal, i, j, sub, ropts, min_ratio, quiet
+                    host_rows(), pts_cal, i, j, sub, ropts, min_ratio, quiet
                 )
                 metrics["pairs"].append(rec)
                 if edge is not None:
@@ -441,7 +515,9 @@ def run_sfm(
         "cams": cams_ba,
         "points": pts_ba,
         "tracks": tracks,
-        "keypoints": kps,
+        # under device-resident SIFT only the 4-col meta is on host;
+        # full 132-col rows were never pulled
+        "keypoints": kps if kps is not None else kps_meta,
         "ba_history": hist,
         "metrics": metrics,
     }

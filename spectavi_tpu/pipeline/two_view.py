@@ -99,6 +99,61 @@ def step2_match_keypoints(siftkps, matching_method="auto", min_ratio=1.75, quiet
     return xd, yd
 
 
+def step12_fused_device(image_paths, min_ratio=1.75, quiet=False):
+    """Steps 1+2 with descriptors never leaving the device.
+
+    SIFT leaves each image's ``(n, 128)`` uint8 descriptor block on
+    device (:func:`sift_filter_batch_device`), the 132-col rows are
+    assembled and byte-quantized there
+    (:func:`normalize_to_ubyte_device` — same semantics as the host
+    quantizer), and the exact L2 top-2 matcher consumes them in place.
+    Only the 4-col keypoint metadata and the tiny ``(n, 2)`` match
+    table cross the link — on the castle pair that removes ~7 MB of
+    descriptor pull plus ~8 MB of re-upload through the ~5-7 MB/s
+    tunnel (round-5 phase profile: the transfers, not compute, were
+    the SIFT wall).  Downstream steps only ever use columns [:2] of
+    the match rows, so the 4-col ``xd/yd`` satisfy the step3/4/5
+    contract.  Matching semantics are identical to
+    ``step2_match_keypoints(matching_method="l2-mxu")``.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax.numpy as jnp
+
+    from spectavi_tpu.features.normalize import normalize_to_ubyte_device
+    from spectavi_tpu.features.sift import sift_filter_batch_device
+    from spectavi_tpu.ops.l2nn import l2_topk2
+
+    with ThreadPoolExecutor(max_workers=min(4, len(image_paths))) as ex:
+        ims = list(
+            ex.map(
+                lambda p: imread(p, dtype="float32", force_grayscale=True),
+                image_paths,
+            )
+        )
+    with Timer("step1-computation", quiet):
+        outs = sift_filter_batch_device(ims)
+    with Timer("step2-computation", quiet):
+        rows = [
+            jnp.concatenate(
+                [jnp.asarray(o["meta"]), o["desc"].astype(jnp.float32)],
+                axis=1,
+            )
+            for o in outs
+        ]
+        _x = normalize_to_ubyte_device(rows[0])
+        _y = normalize_to_ubyte_device(rows[1])
+        nn_idx, nn_dist = l2_topk2(_x, _y)
+        nn_idx = np.asarray(nn_idx)
+        nn_dist = np.asarray(nn_dist)
+    ratio = nn_dist[:, 1] / np.maximum(nn_dist[:, 0].astype("float64"), 1e-12)
+    pass_idx = ratio >= min_ratio**2  # squared-L2 convention (see step2)
+    idx0 = nn_idx[:, 0].astype(np.int64)
+    xd = outs[0]["meta"][idx0[pass_idx]]
+    yd = outs[1]["meta"][pass_idx]
+    return [o["meta"] for o in outs], (xd, yd)
+
+
 def step3_estimate_essential(xd, yd, K, ransac_quality="ultra", options=None, key=None, quiet=False):
     iK = np.linalg.inv(K)
     x0 = homogeneous(xd[..., :2]) @ iK.T
@@ -295,16 +350,34 @@ def run_two_view(
         step2_out = (data["xd"], data["yd"])
         metrics["match_cache_hit"] = True
     if step2_out is None:
-        t0 = _time.perf_counter()
-        kps = step1_sift_detect(image_paths, quiet)
-        metrics["step1_seconds"] = _time.perf_counter() - t0
+        import jax
+
+        fused = (
+            matching_method == "l2-mxu" and jax.default_backend() != "cpu"
+        )
+        metrics["fused_frontend"] = fused
+        if fused:
+            # device-resident front end: descriptors never cross the
+            # host link (castle pair: saves ~15 MB of tunnel traffic)
+            t0 = _time.perf_counter()
+            kps, step2_out = step12_fused_device(
+                image_paths, min_ratio, quiet
+            )
+            metrics["step1_seconds"] = _time.perf_counter() - t0
+            metrics["step2_seconds"] = 0.0  # fused into step 1
+        else:
+            t0 = _time.perf_counter()
+            kps = step1_sift_detect(image_paths, quiet)
+            metrics["step1_seconds"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            step2_out = step2_match_keypoints(
+                kps, matching_method, min_ratio, quiet
+            )
+            metrics["step2_seconds"] = _time.perf_counter() - t0
         metrics["keypoints"] = [int(kps[0].shape[0]), int(kps[1].shape[0])]
         if not quiet:
             print("sift 1 #: ", kps[0].shape[0])
             print("sift 2 #: ", kps[1].shape[0])
-        t0 = _time.perf_counter()
-        step2_out = step2_match_keypoints(kps, matching_method, min_ratio, quiet)
-        metrics["step2_seconds"] = _time.perf_counter() - t0
         if cache and cache_file:
             np.savez_compressed(cache_file, xd=step2_out[0], yd=step2_out[1])
         if plots and outdir is not None:

@@ -351,3 +351,58 @@ def test_native_sift_baseline_fidelity():
         a, b = gold[g, 4:], kp[j, 4:]
         cos.append(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
     assert np.median(cos) >= 0.995, np.median(cos)
+
+
+def test_sift_filter_batch_device_matches_host(golden):
+    """The device-resident descriptor path must be bit-identical to the
+    host API: same meta columns, same vlfeat-quantized descriptors
+    (it IS the same compute — only the pull is skipped)."""
+    import numpy as np
+
+    from spectavi_tpu.features.sift import (
+        sift_filter_batch,
+        sift_filter_batch_device,
+    )
+
+    im, _ = golden
+    ims = [im, im[24:, 16:]]
+    host = sift_filter_batch(ims)
+    dev = sift_filter_batch_device(ims)
+    for h, d in zip(host, dev):
+        assert d["meta"].shape == (h.shape[0], 4)
+        np.testing.assert_array_equal(d["meta"], h[:, :4])
+        np.testing.assert_array_equal(
+            np.asarray(d["desc"]).astype(np.float32), h[:, 4:]
+        )
+
+
+def test_fused_frontend_matches_host_step2(golden, tmp_path):
+    """step12_fused_device must produce the same matches as
+    step1 + step2(matching_method='l2-mxu') — identical quantization,
+    matcher, and ratio semantics."""
+    import numpy as np
+    from PIL import Image
+
+    from spectavi_tpu.pipeline.two_view import (
+        step1_sift_detect,
+        step2_match_keypoints,
+        step12_fused_device,
+    )
+
+    im, _ = golden
+    im0 = im / max(im.max(), 1e-9)
+    im1 = im0[12:, 8:]
+    p0 = str(tmp_path / "a.png")
+    p1 = str(tmp_path / "b.png")
+    Image.fromarray((im0 * 255).astype(np.uint8)).save(p0)
+    Image.fromarray((im1 * 255).astype(np.uint8)).save(p1)
+
+    kps = step1_sift_detect([p0, p1], quiet=True)
+    xd_h, yd_h = step2_match_keypoints(
+        kps, matching_method="l2-mxu", quiet=True
+    )
+    metas, (xd_d, yd_d) = step12_fused_device([p0, p1], quiet=True)
+    assert metas[0].shape[1] == 4
+    assert xd_d.shape[0] == xd_h.shape[0]
+    np.testing.assert_allclose(xd_d[:, :2], xd_h[:, :2], atol=1e-5)
+    np.testing.assert_allclose(yd_d[:, :2], yd_h[:, :2], atol=1e-5)
