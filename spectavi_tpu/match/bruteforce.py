@@ -231,9 +231,19 @@ def nn_bruteforcel1k2(x, y, nthreads=None):
 
     API parity with ``spectavi.feature.nn_bruteforcel1k2`` (reference
     ``spectavi/feature.py:292-304``); ``nthreads`` is accepted and
-    ignored (parallelism is XLA's job).  Exact-L1 semantics via the
-    XLA lowering (see :mod:`spectavi_tpu.ops.l1nn` for why L1 has no
-    Pallas kernel; the fast path is the fused L2 matcher).
+    ignored (parallelism is XLA's job).  Exact-L1 semantics via
+    :func:`l1_topk2_xla`.
+
+    Why there is no Pallas L1 kernel (round-2 measurement): L1 distance
+    ``sum_d |x_d - y_d|`` is not a matmul, so a hand-written kernel
+    must materialize a 3D ``(tile_x, tile_y, D)`` broadcast difference;
+    Mosaic spills those temporaries to VMEM and the round-1 streaming
+    kernel measured ~4 orders of magnitude off this XLA lowering (which
+    keeps the intermediate in registers tile by tile), so it was
+    deleted.  The production fast path is squared-L2 on the MXU
+    (:mod:`spectavi_tpu.ops.l2nn_pallas`) — the metric where the
+    hardware is fastest and Lowe's original choice; the reference's L1
+    was an SSE-era compromise (``_mm_sad_epu8``).
     """
     del nthreads
     x = np.asarray(x)
@@ -241,9 +251,9 @@ def nn_bruteforcel1k2(x, y, nthreads=None):
     assert x.shape[1] == y.shape[1]
     if x.shape[1] % 16 != 0:
         raise ValueError("Input matrix inner dimensions must be 16-byte aligned.")
-    from spectavi_tpu.ops.l1nn import l1_topk2
-
-    idx, dist = l1_topk2(jnp.asarray(x), jnp.asarray(y))
+    if x.dtype not in (np.uint8, np.int8, np.int16, np.int32, np.uint16):
+        raise TypeError(f"integer descriptors expected, got {x.dtype}")
+    idx, dist = l1_topk2_xla(jnp.asarray(x), jnp.asarray(y))
     return np.asarray(idx).astype(np.uint64), np.asarray(dist).astype(np.int32)
 
 

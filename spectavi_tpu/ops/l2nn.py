@@ -10,7 +10,7 @@ kernel accumulates in int32 anyway via ``preferred_element_type``).
 
 L2 is also Lowe's original SIFT matching metric; the reference's L1
 was a CPU-performance compromise.  Exact L1 remains available for
-parity (:mod:`spectavi_tpu.ops.l1nn`).
+parity (:func:`spectavi_tpu.match.bruteforce.l1_topk2_xla`).
 
 Two implementations share the semantics:
 
