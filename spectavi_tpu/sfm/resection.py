@@ -303,6 +303,27 @@ def pnp_ransac_batch(problems, key=None, trials=512, sample_size=6,
             raise ValueError(f"pnp_ransac needs >= 6 correspondences, got {n}")
         ns.append(n)
     Npad = max(256, 1 << int(np.ceil(np.log2(max(ns)))))
+    # Bound the per-dispatch working set: the fused program's
+    # sampling/scoring intermediates scale with Bpad x trials x Npad,
+    # and one 32 x 512 x 8192 dispatch reproducibly crashed the TPU
+    # worker (a 24-view scene registering 22 views in round 1).  At
+    # Bpad x Npad <= 32768 (the regime every measured run exercised)
+    # it is solid, so larger batches run as a few chunked dispatches —
+    # still one dispatch per ~8 views instead of one per view.
+    max_rows = 32768
+    chunk_B = max(1, max_rows // Npad)
+    if B > chunk_B:
+        out = []
+        for s in range(0, B, chunk_B):
+            key, sub = jax.random.split(key)
+            out.extend(
+                pnp_ransac_batch(
+                    problems[s : s + chunk_B], key=sub, trials=trials,
+                    sample_size=sample_size, reproj_thresh=reproj_thresh,
+                    refine_iters=refine_iters,
+                )
+            )
+        return out
     Bpad = 1 << int(np.ceil(np.log2(B)))
     Xb = np.zeros((Bpad, Npad, 3))
     uvb = np.zeros((Bpad, Npad, 2))
