@@ -280,7 +280,8 @@ def pnp_ransac(X, uv, key=None, trials=512, sample_size=6,
 
 
 def pnp_ransac_batch(problems, key=None, trials=512, sample_size=6,
-                     reproj_thresh=1e-3, refine_iters=10):
+                     reproj_thresh=1e-3, refine_iters=10,
+                     max_rows=32768):
     """Batched :func:`pnp_ransac` over a list of ``(X, uv)`` problems.
 
     All problems run as ONE device dispatch (``vmap`` over the fused
@@ -310,7 +311,6 @@ def pnp_ransac_batch(problems, key=None, trials=512, sample_size=6,
     # Bpad x Npad <= 32768 (the regime every measured run exercised)
     # it is solid, so larger batches run as a few chunked dispatches —
     # still one dispatch per ~8 views instead of one per view.
-    max_rows = 32768
     chunk_B = max(1, max_rows // Npad)
     if B > chunk_B:
         out = []
@@ -320,7 +320,7 @@ def pnp_ransac_batch(problems, key=None, trials=512, sample_size=6,
                 pnp_ransac_batch(
                     problems[s : s + chunk_B], key=sub, trials=trials,
                     sample_size=sample_size, reproj_thresh=reproj_thresh,
-                    refine_iters=refine_iters,
+                    refine_iters=refine_iters, max_rows=max_rows,
                 )
             )
         return out

@@ -191,3 +191,30 @@ def test_incremental_matches_chaining_on_clean_short_chain(rng):
     ).mean()
     for cams_e in (cams_chain, cams_pnp):
         assert ate_rmse(camera_centers(cams_e), camera_centers(cams_gt)) < 3e-3 * scale
+
+
+def test_pnp_ransac_batch_chunks_large_batches(rng):
+    """A batch whose Bpad x Npad exceeds the per-dispatch cap must be
+    chunked transparently (a 32x512x8192 single dispatch reproducibly
+    crashed the TPU worker in the 24-view scale demo) with every
+    problem still solved to the contract."""
+    from spectavi_tpu.sfm.resection import pnp_ransac_batch
+
+    problems, truths = [], []
+    for k in range(5):
+        rv = rng.normal(0, 0.25, 3)
+        tv = rng.normal(0, 0.3, 3)
+        R = np.asarray(rodrigues(jnp.asarray(rv)))
+        X = rng.standard_normal((100 + 17 * k, 3)) * [1, 1, 0.5] + [0, 0, 6.0]
+        Xc = X @ R.T + tv
+        uv = Xc[:, :2] / Xc[:, 2:] + rng.normal(0, 2e-4, Xc[:, :2].shape)
+        problems.append((X, uv))
+        truths.append((rv, tv))
+    # max_rows=256 forces chunk_B=1 -> 5 chunked dispatches
+    res = pnp_ransac_batch(problems, key=jax.random.PRNGKey(2), max_rows=256)
+    assert len(res) == 5
+    for r, (rv, tv), (X, _) in zip(res, truths, problems):
+        assert r["success"]
+        assert r["n_inliers"] >= 0.95 * X.shape[0]
+        assert np.linalg.norm(r["rvec"] - rv) < 1e-2
+        assert np.linalg.norm(r["tvec"] - tv) < 1e-2
