@@ -486,14 +486,28 @@ def run_sfm(
     metrics["n_observations"] = int(len(ci))
 
     with Timer("sfm-ba", quiet) as t_ba:
-        cams_ba, pts_ba, hist = bundle_adjust(
-            cams0, X0, ci, pi, uv, fixed_cameras=(0,), max_iters=ba_iters,
-            loss=loss,
-        )
+        if jax.default_backend() != "cpu":
+            # in-device LM loop: the host loop's per-iteration
+            # accept/reject pull (~60 ms each through the tunnel) was
+            # most of the BA wall; here all ba_iters run as one
+            # dispatch (fixed robust scale, no early break)
+            from spectavi_tpu.sfm.bundle_adjust import bundle_adjust_device
+
+            cams_ba, pts_ba, hist = bundle_adjust_device(
+                cams0, X0, ci, pi, uv, fixed_cameras=(0,),
+                max_iters=ba_iters, loss=loss,
+            )
+            ba_iter_count = ba_iters  # attempted (accept/reject in-device)
+        else:
+            cams_ba, pts_ba, hist = bundle_adjust(
+                cams0, X0, ci, pi, uv, fixed_cameras=(0,),
+                max_iters=ba_iters, loss=loss,
+            )
+            ba_iter_count = len(hist) - 1
     metrics["ba_seconds"] = t_ba.elapsed
-    metrics["ba_accepted_iters"] = len(hist) - 1
+    metrics["ba_accepted_iters"] = ba_iter_count
     metrics["ba_iters_per_second"] = (
-        (len(hist) - 1) / t_ba.elapsed if t_ba.elapsed else None
+        ba_iter_count / t_ba.elapsed if t_ba.elapsed else None
     )
     metrics["ba_cost_initial"] = float(hist[0])
     metrics["ba_cost_final"] = float(hist[-1])

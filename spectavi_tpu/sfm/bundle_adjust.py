@@ -519,6 +519,63 @@ def ba_device_loop(cams, pts, cam_idx, pt_idx, uv, w, delta, lam0,
     return cams, pts, cost0, cost
 
 
+def bundle_adjust_device(cams, pts, cam_idx, pt_idx, uv, weights=None,
+                         fixed_cameras=(0,), max_iters=20, lam0=1e-3,
+                         cg_iters=100, loss="huber", huber_delta=None):
+    """:func:`bundle_adjust` with the LM loop on device
+    (:func:`ba_device_loop`): one dispatch, no per-iteration host
+    pulls — the host loop's accept/reject pull costs ~60 ms/iteration
+    through this machine's tunnel, which at 15 iterations was most of
+    the multi-view pipeline's BA wall (round-5 measurement; kernel
+    time is ~54 ms/iter at 10 cams/5k pts/16k obs).
+
+    Trade-offs vs the host loop: a FIXED Huber scale (MAD of the
+    initial residuals when not given — one cheap pull), no
+    early-convergence break (always ``max_iters`` LM iterations, each
+    accepted or rejected in-device), no distortion estimation.
+    Returns ``(cams, pts, [cost_initial, cost_final])`` under the
+    (robust) objective.
+    """
+    if loss not in ("linear", "huber"):
+        raise ValueError(f"unknown loss {loss!r} (use 'linear' or 'huber')")
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    cams = jnp.asarray(cams, dtype=wide)
+    pts = jnp.asarray(pts, dtype=wide)
+    cam_idx = jnp.asarray(cam_idx, dtype=jnp.int32)
+    pt_idx = jnp.asarray(pt_idx, dtype=jnp.int32)
+    uv = jnp.asarray(uv, dtype=wide)
+    w = (
+        jnp.ones(uv.shape[0], wide)
+        if weights is None
+        else jnp.asarray(weights, wide)
+    )
+    fixed = np.zeros(cams.shape[0], dtype=bool)
+    for i in fixed_cameras:
+        fixed[i] = True
+    robust = loss == "huber"
+    k = jnp.zeros(2, wide)
+    if robust and huber_delta is None:
+        n = np.asarray(_residual_norms(cams, pts, cam_idx, pt_idx, uv, k))
+        active = n[np.asarray(w) > 0]
+        if len(active):
+            med = float(np.median(active))
+            mad = float(np.median(np.abs(active - med)))
+            huber_delta = max(3.0 * 1.4826 * mad, med, 1e-12)
+        else:
+            huber_delta = 1.0
+    delta = jnp.asarray(huber_delta if robust else 1.0, wide)
+    new_cams, new_pts, cost0, cost = ba_device_loop(
+        cams, pts, cam_idx, pt_idx, uv, w, delta,
+        jnp.asarray(lam0, wide), jnp.asarray(fixed),
+        iters=int(max_iters), cg_iters=cg_iters, robust=robust,
+    )
+    return (
+        np.asarray(new_cams),
+        np.asarray(new_pts),
+        [float(cost0), float(cost)],
+    )
+
+
 def bundle_adjust(
     cams,
     pts,

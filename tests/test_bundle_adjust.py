@@ -250,3 +250,36 @@ def test_ba_huber_rescale_recovers_from_bad_init(rng):
     # seeds; the frozen scale parks at 0.47-1.4 median point error)
     assert err_re < 0.3 * err_fix, (err_re, err_fix)
     assert err_re < 0.15, err_re
+
+
+def test_bundle_adjust_device_matches_host_quality(rng):
+    """The single-dispatch device LM loop must reach the same cost
+    basin as the host loop on a noisy synthetic scene (fixed Huber
+    scale, in-device accept/reject)."""
+    from spectavi_tpu.sfm.bundle_adjust import (
+        ba_cost,
+        bundle_adjust,
+        bundle_adjust_device,
+    )
+
+    cams, pts, ci, pi, uv = _synthetic_scene(rng, C=5, M=80)
+    cams_n = cams + 0.01 * rng.standard_normal(cams.shape) * (np.arange(5) > 0)[:, None]
+    pts_n = pts + 0.02 * rng.standard_normal(pts.shape)
+
+    ch, ph, hh = bundle_adjust(
+        cams_n, pts_n, ci, pi, uv, max_iters=12, loss="huber"
+    )
+    cd, pd, hd = bundle_adjust_device(
+        cams_n, pts_n, ci, pi, uv, max_iters=12, loss="huber"
+    )
+    assert len(hd) == 2 and hd[1] <= hd[0]
+    w = jnp.ones(len(uv))
+    final_h = float(ba_cost(jnp.asarray(ch), jnp.asarray(ph),
+                            jnp.asarray(ci), jnp.asarray(pi),
+                            jnp.asarray(uv), w))
+    final_d = float(ba_cost(jnp.asarray(cd), jnp.asarray(pd),
+                            jnp.asarray(ci), jnp.asarray(pi),
+                            jnp.asarray(uv), w))
+    # both must essentially eliminate the injected perturbation
+    assert final_d < 1e-2 * float(hh[0]), (final_d, hh[0])
+    assert final_d < 3.0 * final_h + 1e-12
