@@ -11,9 +11,10 @@ check:
 	@sha=$$(git rev-parse --short HEAD); \
 	dirty=$$(git status --porcelain | wc -l); \
 	start=$$(date -u +%Y-%m-%dT%H:%M:%SZ); \
-	if python -m pytest tests/ -q 2>&1 | tail -3 | tee /tmp/checkrun.$$$$; then \
+	if python -m pytest tests/ -q > /tmp/checkrun.$$$$ 2>&1; then \
 	  status=GREEN; else status=RED; fi; \
-	echo "$$start sha=$$sha dirty_files=$$dirty status=$$status $$(grep -oE '[0-9]+ passed[^=]*' /tmp/checkrun.$$$$ | head -1)" >> CHECKRUN.txt; \
+	tail -3 /tmp/checkrun.$$$$; \
+	echo "$$start sha=$$sha dirty_files=$$dirty status=$$status $$(grep -oE '[0-9]+ (passed|failed)[^=]*' /tmp/checkrun.$$$$ | head -1)" >> CHECKRUN.txt; \
 	rm -f /tmp/checkrun.$$$$; \
 	tail -1 CHECKRUN.txt; \
 	[ "$$status" = GREEN ]

@@ -47,7 +47,12 @@ def normalize_to_ubyte_device(x):
     import jax.numpy as jnp
 
     xf = jnp.asarray(x, jnp.float32)
-    centered = xf - xf.mean(0)
+    # f64-accumulated column mean like the host quantizer (when x64 is
+    # enabled — CPU parity paths/tests; without x64 this is a no-op
+    # cast and the mean accumulates in f32, whose last-ulp differences
+    # can flip ~1e-5 of quantized bytes on non-integer columns)
+    mean = xf.astype(jnp.float64).mean(0).astype(jnp.float32)
+    centered = xf - mean
     span = jnp.maximum(
         jnp.maximum(centered.max(0), -centered.min(0)),
         jnp.finfo(jnp.float32).tiny,

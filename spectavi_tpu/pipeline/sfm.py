@@ -86,7 +86,7 @@ def _match_pair_loop(kps, pts_cal, i, j, key, ropts, min_ratio, quiet):
 
 
 def _match_pairs_batched(descs, pts_cal, pair_list, key, ropts, min_ratio,
-                         trials=8192, pad_to=256):
+                         trials=8192, pad_to=256, compact_to=4096):
     """Run ALL pairs' matching + RANSAC in one device dispatch.
 
     Routes the pair batch through
@@ -178,6 +178,7 @@ def _match_pairs_batched(descs, pts_cal, pair_list, key, ropts, min_ratio,
         svr_allowed=ropts["singular_value_ratio_allowed"],
         min_ratio=min_ratio,
         masked=True,
+        compact_to=compact_to,
     )
     keys = jax.random.split(key, B)
     E, P1, count, inl_mask, midx0, ratio_ok = step(
@@ -193,6 +194,11 @@ def _match_pairs_batched(descs, pts_cal, pair_list, key, ropts, min_ratio,
     results = []
     for b, (i, j) in enumerate(pair_list):
         n_match = int(ratio_ok[b, : ny[b]].sum())
+        # survivors beyond the on-device compaction bucket never
+        # competed in RANSAC and can't appear in the mask — the
+        # consensus denominator is the competitor count, matching the
+        # loop path exactly whenever no cap engaged
+        n_competed = min(n_match, compact_to)
         inl_j = np.where(inl_mask[b, : ny[b]])[0].astype(np.int64)
         inl_i = midx0[b, inl_j].astype(np.int64)
         results.append({
@@ -203,7 +209,7 @@ def _match_pairs_batched(descs, pts_cal, pair_list, key, ropts, min_ratio,
             "count": int(count[b]),
             "idx_i": inl_i,
             "idx_j": inl_j,
-            "inlier_percent": (len(inl_j) / n_match) if n_match else 0.0,
+            "inlier_percent": (len(inl_j) / n_competed) if n_competed else 0.0,
         })
     return skipped + results
 

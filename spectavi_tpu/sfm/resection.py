@@ -518,6 +518,7 @@ def incremental_poses(edges, n_views, keypoints, tracks, ref_view=0,
         for v in np.nonzero(registered)[0]:
             cams[v] = new_cams[v]
 
+    n_since_ba = 0
     while not registered.all():
         Xw, good = triangulate_registered()
 
@@ -525,8 +526,9 @@ def incremental_poses(edges, n_views, keypoints, tracks, ref_view=0,
         # round, through ONE batched PnP dispatch (serial per-view
         # dispatches were the 10-view graph wall: 8 rounds of
         # dispatch+pull through the tunnel vs 1-2 here); a local BA
-        # after every round keeps the structure consistent before the
-        # next round triangulates deeper into the chain.
+        # every ``ba_every`` registrations (counting views, not
+        # rounds) keeps the structure consistent before later rounds
+        # triangulate deeper into the chain.
         cand = [
             (int((obs_mask[:, v] & good).sum()), v)
             for v in range(n_views)
@@ -571,7 +573,9 @@ def incremental_poses(edges, n_views, keypoints, tracks, ref_view=0,
             cams[v, :3] = res["rvec"]
             cams[v, 3:] = res["tvec"]
             registered[v] = True
-        if ba_every:
+        n_since_ba += len(views)
+        if ba_every and (n_since_ba >= ba_every or registered.all()):
             local_ba()
+            n_since_ba = 0
 
     return cams, registered
