@@ -8,5 +8,6 @@ from spectavi_tpu.features.normalize import normalize_to_ubyte_and_multiple_16_d
 from spectavi_tpu.features.sift import (  # noqa: F401
     sift_filter,
     sift_filter_batch,
+    sift_filter_batch_device,
     sift_filter_striped,
 )

@@ -134,44 +134,6 @@ def _octave_levels_core(first):
     return gss, dog, mod, ang
 
 
-_octave_levels = jax.jit(_octave_levels_core)
-
-
-def build_scale_space(im, o_min=-1, n_octaves=None):
-    """Build the Gaussian scale space.
-
-    Returns a list (one per octave) of ``(S+3, H_o, W_o)`` arrays plus
-    the per-octave pixel scale ``xper = 2**o``.
-    """
-    H, W = im.shape
-    if n_octaves is None:
-        n_octaves = num_octaves(H, W, o_min)
-    octaves = []
-    xpers = []
-    base = im
-    if o_min < 0:
-        for _ in range(-o_min):
-            base = _upsample2(base)
-    elif o_min > 0:
-        for _ in range(o_min):
-            base = _downsample2(base)
-
-    for oi in range(n_octaves):
-        o = o_min + oi
-        if oi == 0:
-            sa = SIGMA_0 * (SIGMA_K**S_MIN)
-            sb = SIGMA_N * (2.0**-o)
-            first = _blur(base, np.sqrt(max(sa * sa - sb * sb, 0.0)))
-        else:
-            # decimate level s_min + S of the previous octave (its sigma
-            # is exactly 2x the next octave's first level)
-            first = _downsample2(octaves[-1][S_MIN + S - S_MIN])
-        gss, _, _, _ = _octave_levels(first)
-        octaves.append(gss)
-        xpers.append(2.0**o)
-    return octaves, xpers
-
-
 def _gradients(gss):
     """Gradient modulus/angle for the descriptor/orientation levels.
 
@@ -550,32 +512,6 @@ def _bucket_pad(n, minimum=64):
 _R_OR = int(np.floor(3.0 * 1.5 * SIGMA_0 * 2 ** ((S - 1 + 1.5) / S)) + 1)
 
 
-def _detect_orient_core(dog, mod, ang, peak_thresh, edge_thresh, max_kp):
-    """Fused detection + orientation for one octave, returning one
-    stacked metadata array ``(7, max_kp * 4)`` = [theta, angle_valid,
-    x, y, sigma_oct, is, raw_count]."""
-    det = detect_refine(dog, peak_thresh, edge_thresh, max_kp)
-    sigma_oct = SIGMA_0 * (2.0 ** (det["s"] / S))
-    kp_is = jnp.clip(det["s"].round().astype(jnp.int32), 0, S - 1)
-    th, avalid = orientations(
-        mod, ang, det["x"], det["y"], sigma_oct, kp_is, det["valid"], _R_OR
-    )
-    rep = lambda a: jnp.repeat(a.astype(th.dtype), MAX_ANGLES)
-    return jnp.stack(
-        [
-            th.reshape(-1),
-            avalid.reshape(-1).astype(th.dtype),
-            rep(det["x"]),
-            rep(det["y"]),
-            rep(sigma_oct),
-            rep(kp_is),
-            jnp.broadcast_to(
-                det["count"].astype(th.dtype), (max_kp * MAX_ANGLES,)
-            ),
-        ]
-    )
-
-
 @partial(jax.jit, static_argnames=("magnif",))
 def _describe_stage(mod, ang, meta_sel, kval, magnif):
     """Fused descriptor stage: one device call over the compacted
@@ -632,24 +568,6 @@ def _base_first(im_b, o_min):
         return _blur(base, float(np.sqrt(max(sa * sa - sb * sb, 0.0))))
 
     return jax.vmap(prep)(im_b)
-
-
-@partial(jax.jit, static_argnames=("max_kp",))
-def _octave_pass1(first, peak_thresh, edge_thresh, max_kp):
-    """One octave for a whole image batch: pyramid levels, detection,
-    orientation.  ``first (B, H, W)`` -> ``(next_first (B, H//2, W//2),
-    mod, ang, meta (B, 7, max_kp*4))``.  (Used by the one-pass CPU
-    flow; the TPU flow splits detection from orientation so the
-    orientation kernel runs on compacted rows only.)
-    """
-    gss, dog, mod, ang = jax.vmap(_octave_levels_core)(first)
-    meta = jax.vmap(
-        lambda d, m, a: _detect_orient_core(
-            d, m, a, peak_thresh, edge_thresh, max_kp
-        )
-    )(dog, mod, ang)
-    nxt = gss[:, S_MIN + S - S_MIN, ::2, ::2]
-    return nxt, mod, ang, meta
 
 
 @partial(jax.jit, static_argnames=("max_kp",))
