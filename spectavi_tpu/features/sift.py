@@ -812,7 +812,7 @@ def _orient_jobs(det_jobs, grads):
                 _R_OR,
             )
             devs.append((th, av))
-        pulled = [(np.asarray(t), np.asarray(a)) for t, a in devs]
+        pulled = jax.device_get(devs)  # one staged pull
         for job, ta in zip(det_jobs, pulled):
             angles[(job[0], job[1])] = ta
         return angles, None
@@ -860,9 +860,10 @@ def _orient_jobs(det_jobs, grads):
         th, av = orientation_peaks(hist, jnp.asarray(val))
         devs.append((th, av))
         groups.append((bi, img_jobs))
-    for (bi, img_jobs), (th_d, av_d) in zip(groups, devs):
-        th = np.asarray(th_d)
-        av = np.asarray(av_d)
+    pulled = jax.device_get(devs)  # ONE staged pull for all images:
+    # per-image np.asarray paid a full tunnel round trip each (B=10:
+    # ~1-1.7 s of pure latency in the multi-view SIFT phase)
+    for (bi, img_jobs), (th, av) in zip(groups, pulled):
         off = 0
         for j in img_jobs:
             angles[(bi, j[1])] = (
@@ -944,11 +945,27 @@ def _sift_batched_same_shape(
     comp_dev, counts_dev = _compact_detections(
         det_cat, oct_ids, CAP, len(budgets)
     )
-    comp, counts, raws = jax.device_get((comp_dev, counts_dev, raws_dev))
-    if counts.sum(axis=1).max() > CAP:
+    if B * CAP > 131072:
+        # two-phase pull for LARGE batches: the worst-case table is
+        # B x 4 x CAP x 4 bytes (a 10-view 480x640 batch: 5.2 MB, ~1 s
+        # of its 3.2 s SIFT phase) while typical valid counts run
+        # 5-20% of CAP.  Pull the tiny per-octave counts first, then
+        # only a power-of-two row bucket covering the real maximum.
+        # Small batches (castle pair: 1.05 MB) keep the single pull —
+        # the extra sync costs more than it saves there.
+        counts, raws = jax.device_get((counts_dev, raws_dev))
+        need = int(counts.sum(axis=1).max())
+        K = min(CAP, _bucket_pad(max(need, 1), minimum=256))
+        comp = np.asarray(comp_dev[:, :, :K]) if need <= CAP else None
+    else:
+        comp, counts, raws = jax.device_get(
+            (comp_dev, counts_dev, raws_dev)
+        )
+        if counts.sum(axis=1).max() > CAP:
+            comp = None
+    if comp is None:
         # pathological keypoint density: the compaction cap would drop
         # detections — fall back to pulling the full table
-        comp = None
         det_all = np.asarray(det_cat)
 
     # host: split the compacted rows into per-(image, octave) jobs
