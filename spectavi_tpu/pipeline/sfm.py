@@ -185,11 +185,11 @@ def _match_pairs_batched(descs, pts_cal, pair_list, key, ropts, min_ratio,
         jnp.asarray(d0), jnp.asarray(d1), jnp.asarray(p0), jnp.asarray(p1),
         keys, jnp.asarray(nx), jnp.asarray(ny),
     )
-    E, P1 = np.asarray(E), np.asarray(P1)
-    count = np.asarray(count)
-    inl_mask = np.asarray(inl_mask)
-    midx0 = np.asarray(midx0)
-    ratio_ok = np.asarray(ratio_ok)
+    # one staged pull for all six outputs (serial np.asarray paid a
+    # tunnel round trip each)
+    E, P1, count, inl_mask, midx0, ratio_ok = jax.device_get(
+        (E, P1, count, inl_mask, midx0, ratio_ok)
+    )
 
     results = []
     for b, (i, j) in enumerate(pair_list):

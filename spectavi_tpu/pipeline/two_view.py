@@ -143,9 +143,9 @@ def step12_fused_device(image_paths, min_ratio=1.75, quiet=False):
         ]
         _x = normalize_to_ubyte_device(rows[0])
         _y = normalize_to_ubyte_device(rows[1])
-        nn_idx, nn_dist = l2_topk2(_x, _y)
-        nn_idx = np.asarray(nn_idx)
-        nn_dist = np.asarray(nn_dist)
+        import jax
+
+        nn_idx, nn_dist = jax.device_get(l2_topk2(_x, _y))
     ratio = nn_dist[:, 1] / np.maximum(nn_dist[:, 0].astype("float64"), 1e-12)
     pass_idx = ratio >= min_ratio**2  # squared-L2 convention (see step2)
     idx0 = nn_idx[:, 0].astype(np.int64)

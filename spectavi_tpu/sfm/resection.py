@@ -346,10 +346,9 @@ def pnp_ransac_batch(problems, key=None, trials=512, sample_size=6,
         keys, int(trials), int(sample_size),
         jnp.asarray(reproj_thresh, wide), int(refine_iters),
     )
-    rvecs = np.asarray(rvecs)
-    tvecs = np.asarray(tvecs)
-    n_fins = np.asarray(n_fins)
-    masks = np.asarray(masks)
+    rvecs, tvecs, n_fins, masks = jax.device_get(
+        (rvecs, tvecs, n_fins, masks)
+    )
     out = []
     for b in range(B):
         n_fin = int(n_fins[b])
